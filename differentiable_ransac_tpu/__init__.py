@@ -1,0 +1,29 @@
+"""TPU-native differentiable robust estimation (∇-RANSAC on JAX/XLA/Pallas).
+
+A brand-new, TPU-first framework with the capabilities of Generalized
+Differentiable RANSAC (ICCV 2023, reference: weitong8591/differentiable_ransac):
+learned per-correspondence importance (CLNet-style graph CNN), Gumbel-softmax
+straight-through minimal-sample drawing, batched minimal solvers (Nistér 5PC
+essential, 7PC/8PC fundamental, 3-point rigid), soft MSAC scoring, and
+end-to-end training — all as fixed-shape jitted programs over a
+``(pairs, hypotheses)`` lane grid, sharded with ``jax.sharding`` meshes.
+"""
+
+import jax as _jax
+
+# The minimal solvers run their tiny per-sample cores (10×20 elimination,
+# degree-10 roots) in float64 — fp32 loses 2-3 digits to conditioning there
+# (the bulk compute — scoring matmuls, the network — stays explicitly fp32/bf16).
+# x64 must be enabled process-wide for float64 dtypes to exist.
+_jax.config.update("jax_enable_x64", True)
+
+from differentiable_ransac_tpu.config import RansacConfig, ModelKind, SamplerKind
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "RansacConfig",
+    "ModelKind",
+    "SamplerKind",
+    "__version__",
+]

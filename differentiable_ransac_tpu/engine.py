@@ -1,0 +1,429 @@
+"""The ∇-RANSAC engine: batched hypothesize-and-verify as one XLA program.
+
+Architecture (the TPU inversion of the reference's control flow): instead of
+a Python ``while`` mutating best-so-far state with a serial per-pair loop
+(``/root/reference/ransac.py:41-200``, ``model_cl.py:488``), every
+(pair × hypothesis) is a lane of a fixed-shape tensor program:
+
+* **Train mode** (``ransac_train``): all ``H = ceil(max_iters/rbs)·rbs``
+  hypotheses are sampled, solved, and GT-selected in ONE vectorized pass —
+  a pure function of (points, logits, key), differentiable end-to-end.
+  Matches the reference train branch (``ransac.py:78-108``): per minimal
+  sample, the solution closest to GT in Frobenius norm is kept; nan models
+  become invalid-mask entries instead of shape changes.
+* **Test mode** (``ransac_test``): a ``lax.while_loop`` over hypothesis
+  chunks of ``ransac_batch_size``, carrying (best_score, best_model,
+  best_mask); the classic adaptive stopping criterion
+  (``ransac.py:202-215``) updates the trip bound. Local optimization
+  (``lo ∈ {1,2,3}``, ``ransac.py:217-299``) and the final refit on inliers
+  (``ransac.py:148-195``) are in-framework (weighted non-minimal solves in
+  place of the pymagsac hand-off).
+
+Model conventions: E/F satisfy ``x2ᵀ M x1 = 0``; rigid models are (4, 4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from differentiable_ransac_tpu.config import ModelKind, RansacConfig, SamplerKind
+from differentiable_ransac_tpu.samplers import (
+    gather_minimal_samples,
+    gumbel_topk_sample,
+    uniform_sample,
+)
+from differentiable_ransac_tpu.scoring import msac_score, rigid_msac_score
+from differentiable_ransac_tpu.solvers import (
+    essential_5pt_nister,
+    essential_nonminimal,
+    fundamental_7pt,
+    fundamental_8pt,
+    fundamental_nonminimal,
+    rigid_3pt,
+    rigid_nonminimal,
+)
+
+
+# ---------------------------------------------------------------------------
+# Solver dispatch
+# ---------------------------------------------------------------------------
+
+def _minimal_solver(cfg: RansacConfig):
+    """Single-sample minimal solver fn(sample[, weights]) -> (S,3,3), (S,)."""
+    if cfg.model == ModelKind.ESSENTIAL:
+        if cfg.sampler == SamplerKind.GUMBEL_8PT:
+            # 8-point samples solved with the non-minimal DLT + manifold
+            # projection, one solution per sample.
+            def solve(sample, weights=None):
+                E = essential_nonminimal(sample, weights)
+                valid = jnp.all(jnp.isfinite(E))
+                return E[None], valid[None]
+
+            return solve
+        return essential_5pt_nister
+    if cfg.model == ModelKind.FUNDAMENTAL:
+        if cfg.sampler == SamplerKind.GUMBEL_8PT:
+            return fundamental_8pt
+        def solve7(sample, weights=None):
+            return fundamental_7pt(sample)
+        return solve7
+    if cfg.model == ModelKind.RIGID:
+        return rigid_3pt
+    raise ValueError(cfg.model)
+
+
+def _nonminimal_solver(cfg: RansacConfig):
+    if cfg.model == ModelKind.ESSENTIAL:
+        return essential_nonminimal
+    if cfg.model == ModelKind.FUNDAMENTAL:
+        return fundamental_nonminimal
+    return rigid_nonminimal
+
+
+def _score(cfg: RansacConfig, points, models, threshold, point_mask=None):
+    if cfg.model == ModelKind.RIGID:
+        return rigid_msac_score(points, models, threshold, point_mask)
+    return msac_score(points, models, threshold, point_mask)
+
+
+def normalized_threshold(cfg: RansacConfig, K1=None, K2=None):
+    """E-mode thresholds are normalized by the average focal length
+    (reference ``ransac.py:49-53``; we use the intended
+    ``(K1[0,0]+K1[1,1]+K2[0,0]+K2[1,1])/4`` — the reference accidentally
+    reads ``K1[0,0]`` twice)."""
+    if cfg.model == ModelKind.ESSENTIAL and K1 is not None:
+        return cfg.threshold / ((K1[0, 0] + K1[1, 1] + K2[0, 0] + K2[1, 1]) / 4.0)
+    return jnp.asarray(cfg.threshold)
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis generation (shared by train/test)
+# ---------------------------------------------------------------------------
+
+def _draw_and_solve(cfg: RansacConfig, points, logits, key, num_hypotheses):
+    """Sample minimal sets and solve them, fully vectorized.
+
+    Returns:
+        models (H, S, 3or4, 3or4), valid (H, S), soft_weights (H, N) | None.
+    """
+    m = cfg.sample_size
+    n = points.shape[0]
+    logits = logits.astype(points.dtype)  # x64-proof: keep lanes in fp32
+    solver = _minimal_solver(cfg)
+
+    if cfg.sampler == SamplerKind.UNIFORM:
+        idx = uniform_sample(key, n, num_hypotheses, m)
+        samples = points[idx]  # (H, m, D)
+        soft = None
+        sample_weights = None
+    else:
+        idx, st_mask, soft = gumbel_topk_sample(key, logits, num_hypotheses, m)
+        samples = gather_minimal_samples(points, idx, st_mask)
+        sample_weights = (
+            jnp.take_along_axis(soft, idx, axis=1) if cfg.weighted else None
+        )
+
+    if sample_weights is not None:
+        models, valid = jax.vmap(solver)(samples, sample_weights)
+    else:
+        models, valid = jax.vmap(solver)(samples)
+    return models, valid, soft
+
+
+# ---------------------------------------------------------------------------
+# Train mode
+# ---------------------------------------------------------------------------
+
+def ransac_train(
+    cfg: RansacConfig,
+    points: jnp.ndarray,
+    logits: jnp.ndarray,
+    gt_model: jnp.ndarray,
+    key: jax.Array,
+):
+    """All-hypotheses differentiable forward (reference ``ransac.py:78-108``).
+
+    Args:
+        cfg: static config with ``train=True``.
+        points: (N, 4) (E: calibrated; F: pixels) or (N, 6) for rigid.
+        logits: (N,) sampler scores.
+        gt_model: (3, 3) GT model for per-sample solution selection
+            (E/F only; ignored for rigid and the 8PT sampler).
+        key: PRNG key.
+
+    Returns:
+        models (H, 3, 3): per-hypothesis selected models,
+        valid (H,): validity mask (nan models and failed solves are False —
+            the fixed-shape analogue of the reference's nan filtering,
+            ``ransac.py:103-108``).
+    """
+    H = cfg.num_hypotheses
+    models, valid, _ = _draw_and_solve(cfg, points, logits, key, H)
+    S = models.shape[1]
+    if S == 1:
+        chosen = models[:, 0]
+        chosen_valid = valid[:, 0]
+    else:
+        # Frobenius distance to GT per solution slot; invalid slots -> inf.
+        dist = jnp.linalg.norm(models - gt_model[None, None], axis=(-2, -1))
+        dist = jnp.where(valid, dist, jnp.inf)
+        sel = jnp.argmin(dist, axis=-1)
+        chosen = jnp.take_along_axis(models, sel[:, None, None, None], axis=1)[:, 0]
+        chosen_valid = jnp.any(valid, axis=-1)
+    chosen_valid = chosen_valid & jnp.all(jnp.isfinite(chosen), axis=(-2, -1))
+    chosen = jnp.where(
+        chosen_valid[:, None, None], chosen, jnp.eye(chosen.shape[-1], dtype=chosen.dtype)
+    )
+    return chosen, chosen_valid
+
+
+def ransac_train_rigid(
+    cfg: RansacConfig,
+    points: jnp.ndarray,
+    logits: jnp.ndarray,
+    key: jax.Array,
+):
+    """Rigid-registration training forward (reference ``ransac.py:352-408``):
+    returns all hypothesis models plus per-hypothesis residuals.
+
+    Returns:
+        models (H, 4, 4), valid (H,), residual_sums (H,), mean_residual ().
+    """
+    from differentiable_ransac_tpu.solvers.rigid import rigid_squared_residual
+
+    H = cfg.num_hypotheses
+    models, valid, _ = _draw_and_solve(cfg, points, logits, key, H)
+    models = models[:, 0]
+    valid = valid[:, 0] & jnp.all(jnp.isfinite(models), axis=(-2, -1))
+    sq, _ = rigid_squared_residual(points[:, :3], points[:, 3:], models)
+    sq = jnp.where(valid[:, None], sq, 0.0)
+    residual_sums = jnp.sum(sq, axis=-1)
+    denom = jnp.maximum(jnp.sum(valid), 1) * points.shape[0]
+    mean_residual = jnp.sum(sq) / denom
+    return models, valid, residual_sums, mean_residual
+
+
+# ---------------------------------------------------------------------------
+# Test mode
+# ---------------------------------------------------------------------------
+
+def ransac_fixed(
+    cfg: RansacConfig,
+    points: jnp.ndarray,
+    logits: jnp.ndarray,
+    key: jax.Array,
+    threshold=None,
+    point_mask: Optional[jnp.ndarray] = None,
+    num_hypotheses: Optional[int] = None,
+):
+    """Fixed-budget best-model search: ALL hypotheses in one vectorized pass.
+
+    The fully-parallel sibling of :func:`ransac_test` — no adaptive early
+    exit, no sequential chunk loop; every hypothesis is a lane. This is the
+    unit of hypothesis-sharding for the multi-chip path (shard the
+    ``num_hypotheses`` axis over the mesh, reduce the argmax with
+    collectives) and the TPU throughput benchmark. Returns local best +
+    the per-lane scores needed for a cross-shard reduction.
+
+    Returns:
+        dict: best_model, best_mask (N,), best_score (), best_index (),
+        scores (H·S,), models (H·S, 3, 3).
+    """
+    if threshold is None:
+        threshold = cfg.threshold
+    threshold = jnp.asarray(threshold).astype(points.dtype)
+    H = num_hypotheses if num_hypotheses is not None else cfg.num_hypotheses
+    models, valid, _ = _draw_and_solve(cfg, points, logits, key, H)
+    flat = models.reshape((-1,) + models.shape[2:])
+    flat_valid = valid.reshape(-1)
+    scores, masks = _score(cfg, points, flat, threshold, point_mask)
+    scores = jnp.where(flat_valid, scores, -jnp.inf)
+    best_idx = jnp.argmax(scores)
+    return {
+        "best_model": flat[best_idx],
+        "best_mask": masks[best_idx],
+        "best_score": scores[best_idx],
+        "best_index": best_idx,
+        "scores": scores,
+        "models": flat,
+    }
+
+
+def refit_best(cfg: RansacConfig, points, best_model, best_mask, best_score,
+               threshold, point_mask=None):
+    """Final non-minimal refit on inliers, keep-if-better
+    (reference ``ransac.py:148-195``)."""
+    state = _BestState(
+        score=best_score,
+        model=best_model,
+        mask=best_mask,
+        inliers=jnp.sum(best_mask).astype(points.dtype),
+        iterations=jnp.asarray(0, jnp.int32),
+        max_iters=jnp.asarray(0.0, points.dtype),
+        key=jax.random.PRNGKey(0),
+    )
+    threshold = jnp.asarray(threshold).astype(points.dtype)
+    state = _refit_and_update(cfg, points, threshold, point_mask, state)
+    return state.model, state.mask, state.score
+
+
+class _BestState(NamedTuple):
+    score: jnp.ndarray       # ()
+    model: jnp.ndarray       # (3, 3) / (4, 4)
+    mask: jnp.ndarray        # (N,)
+    inliers: jnp.ndarray     # ()
+    iterations: jnp.ndarray  # ()
+    max_iters: jnp.ndarray   # ()
+    key: jax.Array
+
+
+def _adaptive_iterations(cfg: RansacConfig, inlier_number, point_number):
+    """log(1−conf)/log(1−ir^m) stopping criterion (``ransac.py:202-215``)."""
+    ir = inlier_number / point_number
+    fail = 1.0 - ir**cfg.sample_size
+    bound = jnp.log10(1.0 - cfg.confidence) / (jnp.log10(jnp.clip(fail, 1e-12, None) + cfg.eps))
+    bound = jnp.maximum(0.0, bound)
+    return jnp.where(fail >= 1.0 - cfg.eps, float(cfg.max_iterations), bound)
+
+
+def _refit_and_update(cfg, points, threshold, point_mask, state, weights=None):
+    """Non-minimal refit on the current inliers; keep if it scores better."""
+    nonminimal = _nonminimal_solver(cfg)
+    w = state.mask.astype(points.dtype)
+    if weights is not None:
+        w = w * weights
+    model = nonminimal(points, w)
+    scores, masks = _score(cfg, points, model[None], threshold, point_mask)
+    better = (scores[0] > state.score) & jnp.all(jnp.isfinite(model))
+    return state._replace(
+        score=jnp.where(better, scores[0], state.score),
+        model=jnp.where(better, model, state.model),
+        mask=jnp.where(better, masks[0], state.mask),
+        inliers=jnp.where(better, jnp.sum(masks[0]), state.inliers),
+    )
+
+
+def _local_optimization(cfg: RansacConfig, points, threshold, point_mask, state):
+    """LO on a new best (reference ``ransac.py:217-299``).
+
+    lo=1: single LSQ refit; lo=2: iterated (lo_iters) refits with
+    keep-if-better; lo=3: inner RANSAC with sample size 7·m drawn from the
+    inlier set. All fixed-iteration with masked accepts.
+    """
+    if cfg.lo in (1, 2):
+        iters = 1 if cfg.lo == 1 else cfg.lo_iters
+
+        def body(_, st):
+            return _refit_and_update(cfg, points, threshold, point_mask, st)
+
+        return jax.lax.fori_loop(0, iters, body, state)
+
+    if cfg.lo == 3:
+        minimal = _minimal_solver(cfg)
+        sample_size = 7 * cfg.sample_size
+
+        def body(_, st):
+            k, sub = jax.random.split(st.key)
+            st = st._replace(key=k)
+            # Uniform draw from the current inlier set via masked Gumbel top-k.
+            logit_mask = jnp.where(st.mask > 0, 0.0, -jnp.inf).astype(points.dtype)
+            g = jax.random.gumbel(sub, logit_mask.shape, points.dtype) + logit_mask
+            _, idx = jax.lax.top_k(g, sample_size)
+            sample = points[idx]
+            model = _nonminimal_solver(cfg)(sample, None)
+            scores, masks = _score(cfg, points, model[None], threshold, point_mask)
+            better = (scores[0] > st.score) & jnp.all(jnp.isfinite(model))
+            return st._replace(
+                score=jnp.where(better, scores[0], st.score),
+                model=jnp.where(better, model, st.model),
+                mask=jnp.where(better, masks[0], st.mask),
+                inliers=jnp.where(better, jnp.sum(masks[0]), st.inliers),
+            )
+
+        return jax.lax.fori_loop(0, cfg.lo_iters, body, state)
+
+    return state
+
+
+def ransac_test(
+    cfg: RansacConfig,
+    points: jnp.ndarray,
+    logits: jnp.ndarray,
+    key: jax.Array,
+    threshold=None,
+    point_mask: Optional[jnp.ndarray] = None,
+):
+    """Adaptive best-model search (reference test branch ``ransac.py:109-200``).
+
+    Args:
+        cfg: static config (``train=False``).
+        points: (N, 4) or (N, 6).
+        logits: (N,) sampler scores.
+        key: PRNG key.
+        threshold: focal-normalized threshold (see
+            :func:`normalized_threshold`); defaults to ``cfg.threshold``.
+        point_mask: optional (N,) validity of padded points.
+
+    Returns:
+        (best_model, best_mask (N,), best_score (), iterations ()).
+    """
+    if threshold is None:
+        threshold = cfg.threshold
+    # Pin the threshold to the points dtype so score arithmetic cannot
+    # promote the while-loop carry (x64 is enabled process-wide).
+    threshold = jnp.asarray(threshold).astype(points.dtype)
+    n = points.shape[0]
+    dim = 4 if cfg.model != ModelKind.RIGID else 4
+    model_dim = 3 if cfg.model != ModelKind.RIGID else 4
+    chunk = cfg.ransac_batch_size
+
+    init = _BestState(
+        score=jnp.asarray(-1.0, points.dtype),
+        model=jnp.eye(model_dim, dtype=points.dtype),
+        mask=jnp.zeros((n,), bool),
+        inliers=jnp.asarray(0.0, points.dtype),
+        iterations=jnp.asarray(0, jnp.int32),
+        max_iters=jnp.asarray(cfg.max_iterations, points.dtype),
+        key=key,
+    )
+
+    def cond(st: _BestState):
+        return st.iterations < jnp.minimum(float(cfg.max_iterations), st.max_iters).astype(jnp.int32)
+
+    def body(st: _BestState):
+        k, sub = jax.random.split(st.key)
+        models, valid, _ = _draw_and_solve(cfg, points, logits, sub, chunk)
+        flat = models.reshape((-1,) + models.shape[2:])
+        flat_valid = valid.reshape(-1)
+        scores, masks = _score(cfg, points, flat, threshold, point_mask)
+        scores = jnp.where(flat_valid, scores, -jnp.inf)
+        best_idx = jnp.argmax(scores)
+        better = scores[best_idx] > st.score
+        new = _BestState(
+            score=jnp.where(better, scores[best_idx], st.score),
+            model=jnp.where(better, flat[best_idx], st.model),
+            mask=jnp.where(better, masks[best_idx], st.mask),
+            inliers=jnp.where(better, jnp.sum(masks[best_idx]).astype(st.inliers.dtype), st.inliers),
+            iterations=st.iterations + chunk,
+            max_iters=st.max_iters,
+            key=k,
+        )
+        if cfg.lo:
+            new = jax.lax.cond(
+                better,
+                lambda s: _local_optimization(cfg, points, threshold, point_mask, s),
+                lambda s: s,
+                new,
+            )
+        bound = _adaptive_iterations(cfg, new.inliers, float(n)).astype(st.max_iters.dtype)
+        return new._replace(max_iters=jnp.minimum(new.max_iters, bound))
+
+    final = jax.lax.while_loop(cond, body, init)
+
+    # Final refit on the inliers (reference ``ransac.py:148-195``).
+    final = _refit_and_update(cfg, points, threshold, point_mask, final)
+    return final.model, final.mask, final.score, final.iterations

@@ -1,0 +1,201 @@
+"""CLNet-style consensus-learning network in Flax — the learned
+per-correspondence importance predictor.
+
+Architecture parity with the reference ``DS_Block``
+(``/root/reference/model_cl.py:367-436``): 7-channel input
+(x1, y1, x2, y2, snn_ratio, scale_ratio, Δangle) → 128-ch pointwise embed →
+4 ResNet blocks → DGCNN graph block (k=9) → 4 ResNet blocks → ``linear_0``
+giving intermediate weights w0 → GCN attention aggregation on
+``stop_gradient(w0)`` with residual → 1 ResNet block → ``linear_1`` → logits.
+
+TPU-first layout: correspondences are channels-last ``(B, N, C)`` tensors;
+every 1×1 conv is a Dense over C (an MXU matmul with N as the batch-of-rows
+dimension); the kNN graph is one ``(B, N, N)`` Gram matmul + ``top_k``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def knn_indices(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """k nearest neighbors in feature space (reference ``model_cl.py:29-36``).
+
+    Args:
+        x: (B, N, C) features.
+        k: neighbor count (self included, as in the reference).
+
+    Returns:
+        (B, N, k) int32 neighbor indices.
+    """
+    # -‖a-b‖² = 2ab - ‖a‖² - ‖b‖²; one MXU Gram matmul.
+    inner = jnp.einsum("bnc,bmc->bnm", x, x)
+    sq = jnp.sum(x**2, axis=-1)
+    neg_dist = 2 * inner - sq[:, :, None] - sq[:, None, :]
+    _, idx = jax.lax.top_k(neg_dist, k)
+    return idx
+
+
+def graph_features(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """DGCNN edge features ``[x, x − x_nn]`` (reference ``model_cl.py:39-62``).
+
+    Args:
+        x: (B, N, C).
+
+    Returns:
+        (B, N, k, 2C).
+    """
+    idx = knn_indices(x, k)  # (B, N, k)
+    neighbors = jnp.take_along_axis(x[:, None, :, :], idx[..., None], axis=2)
+    center = jnp.broadcast_to(x[:, :, None, :], neighbors.shape)
+    return jnp.concatenate([center, center - neighbors], axis=-1)
+
+
+class InstanceNorm(nn.Module):
+    """Per-(sample, channel) normalization over the N axis — equivalent to the
+    reference's ``nn.InstanceNorm2d`` (affine-free) on (B, C, N, 1)."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        mean = jnp.mean(x, axis=-2, keepdims=True)
+        var = jnp.var(x, axis=-2, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+
+
+class ResNetBlock(nn.Module):
+    """1×1-conv residual block (reference ``model_cl.py:65-86``)."""
+
+    channels: int
+    pre: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        right = nn.Dense(self.channels)(x) if self.pre else x
+        out = nn.Dense(self.channels)(x)
+        out = InstanceNorm()(out)
+        out = nn.BatchNorm(use_running_average=not train)(out)
+        out = nn.relu(out)
+        out = nn.Dense(self.channels)(out)
+        out = InstanceNorm()(out)
+        out = nn.BatchNorm(use_running_average=not train)(out)
+        return nn.relu(out + right)
+
+
+class DGCNNBlock(nn.Module):
+    """Graph conv over k neighbors (reference ``model_cl.py:89-119``):
+    (1,3)-strided conv then (1,3) valid conv collapse the neighbor axis."""
+
+    channels: int
+    knn_num: int = 9
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert self.knn_num in (9, 6)
+        feats = graph_features(x, self.knn_num)  # (B, N, k, 2C)
+        out = nn.Conv(self.channels, kernel_size=(1, 3), strides=(1, 3), padding="VALID")(feats)
+        out = nn.BatchNorm(use_running_average=not train)(out)
+        out = nn.relu(out)
+        tail = (1, 3) if self.knn_num == 9 else (1, 2)
+        out = nn.Conv(self.channels, kernel_size=tail, padding="VALID")(out)
+        out = nn.BatchNorm(use_running_average=not train)(out)
+        out = nn.relu(out)
+        return out[:, :, 0, :]  # (B, N, C)
+
+
+class GCNBlock(nn.Module):
+    """Attention-adjacency graph aggregation (reference ``model_cl.py:122-157``).
+
+    The normalized-Laplacian aggregation is computed under ``stop_gradient``
+    exactly as the reference wraps it in ``torch.no_grad`` (``:139-147``).
+    """
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x, w, train: bool = False):
+        B, N, _ = x.shape
+
+        def laplacian(w):
+            a = nn.relu(jnp.tanh(w))  # (B, N)
+            A = a[:, :, None] * a[:, None, :] + jnp.eye(N, dtype=x.dtype)[None]
+            d = jax.lax.rsqrt(jnp.sum(A, axis=-1))
+            return A * d[:, :, None] * d[:, None, :]
+
+        L = jax.lax.stop_gradient(laplacian(w))
+        out = jnp.einsum("bnm,bmc->bnc", L, x)
+        out = nn.Dense(self.channels)(out)
+        out = nn.BatchNorm(use_running_average=not train)(out)
+        return nn.relu(out)
+
+
+class DSBlock(nn.Module):
+    """The CLNet backbone (reference ``model_cl.py:367-436``).
+
+    Note: the reference's ``down_sampling`` pruning machinery is dead code at
+    ``sampling_rate=1.0`` (``model_cl.py:407-425,445``) and is not replicated.
+    """
+
+    channels: int = 128
+    knn_num: int = 9
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """x: (B, N, 7) -> logits (B, N)."""
+        out = nn.Dense(self.channels)(x)
+        out = nn.BatchNorm(use_running_average=not train)(out)
+        out = nn.relu(out)
+
+        for _ in range(4):
+            out = ResNetBlock(self.channels)(out, train)
+        out = DGCNNBlock(self.channels, self.knn_num)(out, train)
+        for _ in range(4):
+            out = ResNetBlock(self.channels)(out, train)
+
+        w0 = nn.Dense(1)(out)[..., 0]  # (B, N)
+        out_g = GCNBlock(self.channels)(out, jax.lax.stop_gradient(w0), train)
+        out = out_g + out
+        out = ResNetBlock(self.channels)(out, train)
+        w1 = nn.Dense(1)(out)[..., 0]
+        return w1, w0
+
+
+class CLNet(nn.Module):
+    """Weight predictor head (reference ``CLNet``/``DeepRansac_CLNet`` weight
+    path, ``model_cl.py:600-642``): DS block → log-sigmoid → prob_type
+    selection."""
+
+    channels: int = 128
+    knn_num: int = 9
+
+    @nn.compact
+    def __call__(self, points: jnp.ndarray, train: bool = False):
+        """points: (B, N, 7).
+
+        Returns dict with ``logits`` (raw w1), ``log_probs``, ``weights``
+        (sigmoid), ``normalized_weights`` — the three prob_type flavors
+        (reference ``model_cl.py:461-484``).
+        """
+        w1, w0 = DSBlock(self.channels, self.knn_num)(points, train)
+        log_probs = jax.nn.log_sigmoid(w1)
+        weights = jnp.exp(log_probs)
+        normalized = weights / jnp.sum(weights, axis=-1, keepdims=True)
+        return {
+            "logits": log_probs,
+            "raw": w1,
+            "w0": w0,
+            "log_probs": log_probs,
+            "weights": weights,
+            "normalized_weights": normalized,
+        }
+
+
+def select_prob_type(outputs: dict, prob_type: int) -> jnp.ndarray:
+    """0: normalized weights, 1: unnormalized, 2: logits
+    (reference ``model_cl.py:472-484``)."""
+    return [outputs["normalized_weights"], outputs["weights"], outputs["log_probs"]][prob_type]

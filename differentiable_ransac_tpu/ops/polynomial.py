@@ -1,0 +1,269 @@
+"""Batched, fixed-shape polynomial machinery for the minimal solvers.
+
+TPU-first design notes
+----------------------
+The reference finds the roots of its solver polynomials with per-sample
+non-symmetric eigendecompositions of companion matrices inside a Python loop
+(``/root/reference/estimators/essential_matrix_estimator_nister.py:355-377``,
+``fundamental_matrix_estimator.py:291-298``). XLA:TPU has no complex
+non-symmetric ``eig``; more importantly a per-item loop defeats batching.
+Here every root-finder is a *branch-free, fixed-iteration, fully vmapped*
+program:
+
+* cubic: closed-form trigonometric/Cardano solution with ``where`` masks.
+* degree-n (Nistér's degree-10): Aberth–Ehrlich simultaneous iteration in
+  complex arithmetic (all 10 roots at once per hypothesis, ~30 iterations of
+  pure VPU math), followed by Newton polishing of the near-real roots.
+
+Both return a fixed number of root slots plus validity masks — never a
+data-dependent shape.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def polyval(coeffs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate polynomial with coefficients in *ascending* order.
+
+    ``coeffs`` (..., D+1): ``p(x) = c0 + c1 x + ... + cD x^D``. Horner scheme.
+    ``x``: broadcastable to ``coeffs[..., 0]``.
+    """
+    d = coeffs.shape[-1]
+    acc = jnp.broadcast_to(coeffs[..., d - 1], jnp.broadcast_shapes(coeffs[..., 0].shape, x.shape))
+    for i in range(d - 2, -1, -1):
+        acc = acc * x + coeffs[..., i]
+    return acc
+
+
+def polyder(coeffs: jnp.ndarray) -> jnp.ndarray:
+    """Derivative, ascending coefficient order: (..., D+1) -> (..., D)."""
+    d = coeffs.shape[-1] - 1
+    k = jnp.arange(1, d + 1, dtype=coeffs.dtype)
+    return coeffs[..., 1:] * k
+
+
+def polymul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Product of two batched polynomials (ascending coefficients).
+
+    (..., Da+1) × (..., Db+1) -> (..., Da+Db+1). Small static degrees: the
+    convolution is unrolled at trace time into fused multiply-adds.
+    """
+    da, db = a.shape[-1], b.shape[-1]
+    out = [jnp.zeros_like(a[..., 0] * b[..., 0])] * (da + db - 1)
+    for i in range(da):
+        for j in range(db):
+            out[i + j] = out[i + j] + a[..., i] * b[..., j]
+    return jnp.stack(out, axis=-1)
+
+
+def cubic_roots(c: jnp.ndarray, eps: float = 1e-12):
+    """Real roots of batched cubics ``c0 + c1 x + c2 x² + c3 x³ = 0``.
+
+    Branch-free closed form (the TPU replacement for the reference's
+    4×4-companion ``eigvals`` at ``fundamental_matrix_estimator.py:291-298``
+    and the ``multi_cubic`` regimes at ``math_utils.py:5-108``).
+
+    Args:
+        c: (..., 4) ascending coefficients.
+
+    Returns:
+        (roots (..., 3), valid (..., 3) bool). Invalid slots hold the real
+        root duplicated (degenerate/complex cases), so downstream code can
+        compute on all slots and mask later.
+    """
+    c0, c1, c2, c3 = c[..., 0], c[..., 1], c[..., 2], c[..., 3]
+    # Guard against a (near-)quadratic leading coefficient: fall back to the
+    # quadratic/linear roots in those lanes.
+    is_cubic = jnp.abs(c3) > eps * (jnp.abs(c0) + jnp.abs(c1) + jnp.abs(c2) + 1.0)
+    safe_c3 = jnp.where(is_cubic, c3, 1.0)
+    a = c2 / safe_c3
+    b = c1 / safe_c3
+    d = c0 / safe_c3
+    # Depressed cubic t³ + p t + q with x = t - a/3.
+    p = b - a * a / 3.0
+    q = 2.0 * a**3 / 27.0 - a * b / 3.0 + d
+    shift = -a / 3.0
+
+    disc = (q / 2.0) ** 2 + (p / 3.0) ** 3
+    # Three-real-root regime (disc <= 0): trigonometric solution.
+    p_neg = jnp.minimum(p, -eps)
+    m = 2.0 * jnp.sqrt(-p_neg / 3.0)
+    arg = jnp.clip(3.0 * q / (p_neg * m), -1.0, 1.0)
+    theta = jnp.arccos(arg) / 3.0
+    two_pi_3 = 2.0 * jnp.pi / 3.0
+    t_trig = jnp.stack(
+        [m * jnp.cos(theta), m * jnp.cos(theta - two_pi_3), m * jnp.cos(theta - 2 * two_pi_3)],
+        axis=-1,
+    )
+    # One-real-root regime (disc > 0): Cardano.
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    u3 = -q / 2.0 + sq
+    v3 = -q / 2.0 - sq
+    cbrt = lambda x: jnp.sign(x) * jnp.abs(x) ** (1.0 / 3.0)
+    t_single = cbrt(u3) + cbrt(v3)
+    t_card = jnp.stack([t_single, t_single, t_single], axis=-1)
+
+    three_real = disc <= 0.0
+    roots = jnp.where(three_real[..., None], t_trig, t_card) + shift[..., None]
+
+    # Quadratic fallback for degenerate leading coefficient.
+    is_quad = jnp.abs(c2) > eps * (jnp.abs(c0) + jnp.abs(c1) + 1.0)
+    qa = jnp.where(is_quad, c2, 1.0)
+    qdisc = c1 * c1 - 4.0 * qa * c0
+    qsq = jnp.sqrt(jnp.maximum(qdisc, 0.0))
+    r0 = (-c1 + qsq) / (2.0 * qa)
+    r1 = (-c1 - qsq) / (2.0 * qa)
+    lin = -c0 / jnp.where(jnp.abs(c1) > eps, c1, 1.0)
+    quad_roots = jnp.stack([r0, r1, r0], axis=-1)
+    quad_valid = jnp.stack(
+        [qdisc >= 0, qdisc >= 0, jnp.zeros_like(qdisc, bool)], axis=-1
+    ) & is_quad[..., None]
+    lin_roots = jnp.stack([lin, lin, lin], axis=-1)
+    lin_valid = jnp.stack(
+        [jnp.abs(c1) > eps, jnp.zeros_like(c1, bool), jnp.zeros_like(c1, bool)], axis=-1
+    )
+
+    cubic_valid = jnp.concatenate(
+        [jnp.ones_like(three_real[..., None]), jnp.broadcast_to(three_real[..., None], three_real.shape + (2,))],
+        axis=-1,
+    )
+    roots = jnp.where(
+        is_cubic[..., None], roots, jnp.where(is_quad[..., None], quad_roots, lin_roots)
+    )
+    valid = jnp.where(
+        is_cubic[..., None], cubic_valid, jnp.where(is_quad[..., None], quad_valid, lin_valid)
+    )
+    # One Newton polish step (helps fp32 accuracy). Coefficients gain a
+    # root-slot axis so they broadcast over the 3 roots.
+    c_asc = c[..., None, :]
+    fp = polyval(polyder(c_asc), roots)
+    f = polyval(c_asc, roots)
+    roots = roots - jnp.where(jnp.abs(fp) > eps, f / jnp.where(jnp.abs(fp) > eps, fp, 1.0), 0.0)
+    return roots, valid
+
+
+def aberth_roots(
+    coeffs: jnp.ndarray,
+    iters: int = 40,
+    newton_polish: int = 5,
+    real_tol: float = 3e-2,
+):
+    """All complex roots of batched degree-D polynomials via Aberth–Ehrlich.
+
+    A branch-free simultaneous root iteration: the TPU-native replacement for
+    the reference's per-item companion-matrix ``torch.linalg.eigvals``
+    (``essential_matrix_estimator_nister.py:355-377``). Every hypothesis's 10
+    roots converge in parallel, purely on the VPU, under ``vmap``.
+
+    Args:
+        coeffs: (..., D+1) ascending real coefficients; the leading
+            coefficient may be (near-)zero — such lanes produce spurious
+            far-away roots which are marked invalid.
+        iters: fixed Aberth iterations.
+        newton_polish: fixed Newton steps on the real parts afterwards.
+        real_tol: |Im z| / (1+|Re z|) below which a root counts as real.
+
+    Returns:
+        (roots_real (..., D), valid (..., D) bool): Newton-polished real
+        parts of the roots and a *permissive* validity mask (finite, not
+        clearly complex). Callers must apply their own domain-specific
+        filter — e.g. the 5PC solver checks that each candidate model
+        interpolates its minimal sample. This mirrors the reference, which
+        consumes real parts of all companion-matrix eigenvalues (including
+        complex ones) and lets downstream scoring reject the fakes
+        (``essential_matrix_estimator_nister.py:370,379-402``).
+    """
+    # TPU has no complex dtype support: complex arithmetic is carried as
+    # explicit (re, im) float pairs — pure VPU math.
+    d = coeffs.shape[-1] - 1
+    c = coeffs
+    lead = c[..., -1]
+    lead_ok = jnp.abs(lead) > 1e-30
+    safe_lead = jnp.where(lead_ok, lead, 1.0)
+    monic = c / safe_lead[..., None]
+
+    # Rescale the variable so every root lies in ~the unit disk, keeping all
+    # Horner intermediates O(1) — mandatory for fp32 (an unscaled degree-10
+    # evaluation at the Cauchy radius overflows). Fujiwara-style bound:
+    # alpha = max_k |c_{D-k}/c_D|^{1/k}  ⇒  roots of q(y) = p(alpha·y) have
+    # |y| ≤ 2 and |q_k/q_D| ≤ 1.
+    exponents = 1.0 / jnp.arange(d, 0, -1, dtype=monic.dtype)  # for k = 0..D-1
+    alpha = jnp.max(jnp.abs(monic[..., :-1]) ** exponents, axis=-1)
+    alpha = jnp.clip(alpha, 1e-3, 1e3)
+    # q_k = monic_k · alpha^(k−D); |q_k| ≤ 1 by construction of alpha.
+    powers = alpha[..., None] ** jnp.arange(-d, 1, dtype=monic.dtype)
+    monic = monic * powers
+
+    # Initial guesses: roots of unity at radius 0.7, slightly rotated to
+    # break symmetry with real-coefficient conjugate pairs.
+    k = jnp.arange(d, dtype=monic.dtype)
+    angles = 2.0 * jnp.pi * k / d + 0.4
+    init_re = 0.7 * jnp.cos(angles) * jnp.ones_like(alpha)[..., None]
+    init_im = 0.7 * jnp.sin(angles) * jnp.ones_like(alpha)[..., None]
+
+    # Division guards must sit near the dtype's underflow threshold: scaled
+    # coefficients legitimately reach ~1e-20 and their products ~1e-35; an
+    # absolute 1e-30 guard silently zeroes real Newton steps (f64) or is
+    # unreachable (f32).
+    tiny = float(jnp.finfo(monic.dtype).tiny) * 1e4
+
+    def cmul(ar, ai, br, bi):
+        return ar * br - ai * bi, ar * bi + ai * br
+
+    def cdiv(ar, ai, br, bi):
+        den = br * br + bi * bi
+        den = jnp.where(den > tiny, den, 1.0)
+        return (ar * br + ai * bi) / den, (ai * br - ar * bi) / den
+
+    def cpolyval(cf, zr, zi):
+        """Horner over real coefficients at complex points (re, im)."""
+        n = cf.shape[-1]
+        ar = jnp.broadcast_to(cf[..., n - 1, None] * jnp.ones_like(zr), zr.shape)
+        ai = jnp.zeros_like(zi)
+        for i in range(n - 2, -1, -1):
+            ar, ai = cmul(ar, ai, zr, zi)
+            ar = ar + cf[..., i, None]
+        return ar, ai
+
+    dmonic = polyder(monic)
+
+    def body(z, _):
+        zr, zi = z
+        fr, fi = cpolyval(monic, zr, zi)
+        gr, gi = cpolyval(dmonic, zr, zi)
+        nr, ni = cdiv(fr, fi, gr, gi)  # Newton step f/f'
+        # Σ_j 1/(z_i − z_j): pairwise differences in real-pair form.
+        dr = zr[..., :, None] - zr[..., None, :]
+        di = zi[..., :, None] - zi[..., None, :]
+        den = dr * dr + di * di
+        off = ~jnp.eye(d, dtype=bool)
+        den_ok = (den > tiny) & off
+        den_safe = jnp.where(den_ok, den, 1.0)
+        inv_r = jnp.where(den_ok, dr / den_safe, 0.0)
+        inv_i = jnp.where(den_ok, -di / den_safe, 0.0)
+        sr = jnp.sum(inv_r, axis=-1)
+        si = jnp.sum(inv_i, axis=-1)
+        # Aberth correction: w = n / (1 − n·s)
+        pr, pi = cmul(nr, ni, sr, si)
+        wr, wi = cdiv(nr, ni, 1.0 - pr, -pi)
+        return (zr - wr, zi - wi), None
+
+    (re, im), _ = jax.lax.scan(body, (init_re, init_im), None, length=iters)
+    is_real = jnp.abs(im) <= real_tol * (1.0 + jnp.abs(re))
+
+    # Newton-polish the real parts against the *scaled* polynomial (scale-free
+    # arithmetic), then map back: z = alpha · y.
+    rr = re
+    rc = monic[..., None, :]
+    rd = polyder(monic)[..., None, :]
+    for _ in range(newton_polish):
+        f = polyval(rc, rr)
+        fp = polyval(rd, rr)
+        fp_ok = jnp.abs(fp) > tiny
+        rr = rr - jnp.where(fp_ok, f / jnp.where(fp_ok, fp, 1.0), 0.0)
+
+    valid = is_real & lead_ok[..., None] & jnp.isfinite(rr)
+    return rr * alpha[..., None], valid

@@ -1,0 +1,134 @@
+"""End-to-end train-step tests on tiny shapes."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from differentiable_ransac_tpu.config import (
+    ModelKind,
+    ProbType,
+    RansacConfig,
+    SamplerKind,
+    TrainConfig,
+)
+from differentiable_ransac_tpu.data.synthetic import rigid_problem, two_view_problem
+from differentiable_ransac_tpu.train import (
+    create_optimizer,
+    create_train_state,
+    load_checkpoint,
+    make_train_step,
+    make_train_step_rigid,
+    save_checkpoint,
+)
+
+
+def _two_view_batch(B=2, N=64, fmat=False):
+    probs = [two_view_problem(n_points=N, noise=0.5, outlier_ratio=0.2, seed=i) for i in range(B)]
+    rng = np.random.default_rng(0)
+    feats = []
+    for p in probs:
+        m = p["matches"] if not fmat else p["matches_px"]
+        if fmat:
+            # image-size normalization as the dataset does
+            s = p["im_size"]
+            m = m.copy()
+            m[:, 0] = (m[:, 0] - s[1] / 2) / s.max()
+            m[:, 1] = (m[:, 1] - s[0] / 2) / s.max()
+            m[:, 2] = (m[:, 2] - s[1] / 2) / s.max()
+            m[:, 3] = (m[:, 3] - s[0] / 2) / s.max()
+        side = rng.uniform(0, 1, size=(N, 3)).astype(np.float32)
+        feats.append(np.concatenate([m, side], axis=1))
+    batch = {
+        "correspondences": jnp.asarray(np.stack(feats)),
+        "gt_E": jnp.asarray(np.stack([p["E"] for p in probs])),
+        "gt_F": jnp.asarray(np.stack([p["F"] for p in probs])),
+        "gt_R": jnp.asarray(np.stack([p["R"] for p in probs])),
+        "gt_t": jnp.asarray(np.stack([p["t"] for p in probs])),
+        "K1": jnp.asarray(np.stack([p["K"] for p in probs])),
+        "K2": jnp.asarray(np.stack([p["K"] for p in probs])),
+        "im_size1": jnp.asarray(np.stack([p["im_size"] for p in probs])),
+        "im_size2": jnp.asarray(np.stack([p["im_size"] for p in probs])),
+    }
+    return batch
+
+
+def test_train_step_essential_runs_and_updates():
+    cfg = TrainConfig(w2=1.0, prob_type=ProbType.LOGITS)
+    rcfg = RansacConfig(model=ModelKind.ESSENTIAL, sampler=SamplerKind.GUMBEL,
+                        max_iterations=64, train=True)
+    tx = create_optimizer(cfg)
+    model, state = create_train_state(jax.random.PRNGKey(0), cfg, 64, tx)
+    step = make_train_step(model, tx, cfg, rcfg)
+    batch = _two_view_batch()
+    state2, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert 0 < float(metrics["loss"]) <= 1.0
+    assert float(metrics["valid_fraction"]) > 0.5
+    # params changed
+    d = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a - b)).sum()),
+                     state.params, state2.params)
+    assert sum(jax.tree.leaves(d)) > 0
+    assert int(state2.step) == 1
+
+
+def test_train_step_loss_decreases_overfitting():
+    """A few steps on one batch should reduce the match loss."""
+    cfg = TrainConfig(w2=1.0, learning_rate=3e-4)
+    rcfg = RansacConfig(model=ModelKind.ESSENTIAL, sampler=SamplerKind.GUMBEL,
+                        max_iterations=64, train=True)
+    tx = create_optimizer(cfg)
+    model, state = create_train_state(jax.random.PRNGKey(0), cfg, 64, tx)
+    step = make_train_step(model, tx, cfg, rcfg)
+    batch = _two_view_batch()
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert min(losses[4:]) <= losses[0] + 0.05  # no blow-up; usually decreases
+
+
+def test_train_step_fundamental_mode():
+    cfg = TrainConfig(w2=1.0, w1=0.5)
+    rcfg = RansacConfig(model=ModelKind.FUNDAMENTAL, sampler=SamplerKind.GUMBEL_8PT,
+                        max_iterations=64, train=True)
+    tx = create_optimizer(cfg)
+    model, state = create_train_state(jax.random.PRNGKey(0), cfg, 64, tx)
+    step = make_train_step(model, tx, cfg, rcfg)
+    batch = _two_view_batch(fmat=True)
+    state2, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["classification_loss"]))
+
+
+def test_train_step_rigid():
+    cfg = TrainConfig(w2=1.0)
+    rcfg = RansacConfig(model=ModelKind.RIGID, sampler=SamplerKind.GUMBEL,
+                        max_iterations=64, train=True, threshold=0.03)
+    tx = create_optimizer(cfg)
+    model, state = create_train_state(jax.random.PRNGKey(0), cfg, 64, tx)
+    step = make_train_step_rigid(model, tx, cfg, rcfg)
+    probs = [rigid_problem(n_points=64, noise=0.01, outlier_ratio=0.2, seed=i) for i in range(2)]
+    rng = np.random.default_rng(0)
+    feats = np.stack([
+        np.concatenate([p["points"], rng.uniform(0, 1, (64, 1)).astype(np.float32)], 1)
+        for p in probs
+    ])
+    batch = {"correspondences": jnp.asarray(feats)}
+    state2, metrics = step(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = TrainConfig()
+    tx = create_optimizer(cfg)
+    model, state = create_train_state(jax.random.PRNGKey(0), cfg, 64, tx)
+    path = str(tmp_path / "ckpt.pkl")
+    save_checkpoint(path, state)
+    _, fresh = create_train_state(jax.random.PRNGKey(42), cfg, 64, tx)
+    restored = load_checkpoint(path, fresh)
+    a = jax.tree.leaves(state.params)
+    b = jax.tree.leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
