@@ -1,0 +1,120 @@
+"""Evaluation: the reference ``test.py`` semantics as jitted batch programs.
+
+Per pair: network weight prediction → adaptive RANSAC (test mode, final
+refit) → metric computation. E-mode reports AUC@5/10/20 of
+``max(errR, errT)`` (reference ``test.py:87``, ``cv_utils.py:528-546``);
+F-mode reports F1 / %inliers / mean & median epipolar error at 0.75px
+(reference ``test.py:52-58,88-98``).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from differentiable_ransac_tpu.config import ModelKind, RansacConfig
+from differentiable_ransac_tpu.engine import normalized_threshold, ransac_test
+from differentiable_ransac_tpu.models.clnet import CLNet, select_prob_type
+from differentiable_ransac_tpu.ops import epipolar, metrics, pose
+from differentiable_ransac_tpu.train import _prepare_pair_points
+
+
+def make_eval_step(model: CLNet, ransac_cfg: RansacConfig, prob_type: int = 2):
+    """Jitted per-batch inference: weights → best models + masks + scores."""
+    fmat = ransac_cfg.fmat
+
+    @jax.jit
+    def eval_step(params, batch_stats, batch, key):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["correspondences"],
+            train=False,
+        )
+        weights = select_prob_type(out, prob_type)
+        pts = _prepare_pair_points(batch, fmat)
+        B = pts.shape[0]
+        keys = jax.random.split(key, B)
+        if fmat:
+            thresholds = jnp.full((B,), ransac_cfg.threshold, pts.dtype)
+        else:
+            thresholds = jax.vmap(
+                lambda K1, K2: normalized_threshold(ransac_cfg, K1, K2)
+            )(batch["K1"], batch["K2"]).astype(pts.dtype)
+        pmask = batch.get("point_mask")
+
+        def per_pair(p, w, k, thr, pm):
+            return ransac_test(ransac_cfg, p, w, k, threshold=thr, point_mask=pm)
+
+        if pmask is None:
+            pmask = jnp.ones(pts.shape[:2], pts.dtype)
+        models, masks, scores, iters = jax.vmap(per_pair)(pts, weights, keys, thresholds, pmask)
+        return models, masks, scores, iters, weights
+
+    return eval_step
+
+
+def evaluate_essential_batch(models, batch) -> List[Dict[str, float]]:
+    """Pose errors per pair from estimated E (host-side, numpy metrics)."""
+    results = []
+    models = np.asarray(models)
+    x1 = np.asarray(batch["correspondences"][..., 0:2])
+    x2 = np.asarray(batch["correspondences"][..., 2:4])
+    for b in range(models.shape[0]):
+        err_q, err_t = pose.evaluate_pose(
+            jnp.asarray(models[b]),
+            jnp.asarray(x1[b]), jnp.asarray(x2[b]),
+            jnp.asarray(batch["gt_R"][b]), jnp.asarray(batch["gt_t"][b]),
+            svd=True,
+        )
+        results.append({
+            "err_R": float(err_q),
+            "err_t": float(err_t),
+            "err_pose": float(max(float(err_q), float(err_t))),
+        })
+    return results
+
+
+def evaluate_fundamental_batch(models, batch, threshold: float = 0.75) -> List[Dict[str, float]]:
+    """F1 / inlier-ratio / epipolar error per pair (Ranftl–Koltun protocol)."""
+    results = []
+    models = np.asarray(models)
+    for b in range(models.shape[0]):
+        feats = np.asarray(batch["correspondences"][b])
+        s1 = np.asarray(batch["im_size1"][b])
+        s2 = np.asarray(batch["im_size2"][b])
+        p1 = feats[:, 0:2] * s1.max() + np.array([s1[1] / 2, s1[0] / 2])
+        p2 = feats[:, 2:4] * s2.max() + np.array([s2[1] / 2, s2[0] / 2])
+        valid, f1, inliers, epi = metrics.f_error(
+            p1.T, p2.T, models[b], np.asarray(batch["gt_F"][b]), threshold
+        )
+        results.append({"valid": float(valid), "F1": f1, "inliers": inliers, "epi_error": epi})
+    return results
+
+
+def aggregate_essential(results: List[Dict[str, float]]) -> Dict[str, float]:
+    losses = [r["err_pose"] for r in results]
+    aucs = metrics.auc(losses, thresholds=(5, 10, 20))
+    return {
+        "AUC@5": aucs[0],
+        "AUC@10": aucs[1],
+        "AUC@20": aucs[2],
+        "median_pose_error": float(np.median(losses)) if losses else float("nan"),
+    }
+
+
+def aggregate_fundamental(results: List[Dict[str, float]]) -> Dict[str, float]:
+    ok = [r for r in results if r["valid"]]
+    f1 = float(np.mean([r["F1"] for r in ok])) if ok else 0.0
+    inl = float(np.mean([r["inliers"] for r in ok])) if ok else 0.0
+    epi = [r["epi_error"] for r in ok]
+    return {
+        "F1": f1,
+        "inlier_ratio": inl,
+        "mean_epi_error": float(np.mean(epi)) if epi else float("nan"),
+        "median_epi_error": float(np.median(epi)) if epi else float("nan"),
+        "valid_fraction": len(ok) / max(len(results), 1),
+    }

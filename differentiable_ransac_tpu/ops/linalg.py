@@ -10,6 +10,8 @@ null spaces, better TPU mapping.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -53,20 +55,169 @@ def _safe_eigh_bwd(res, cots):
 safe_eigh.defvjp(_safe_eigh_fwd, _safe_eigh_bwd)
 
 
-def null_space_from_gram(A: jnp.ndarray, k: int) -> jnp.ndarray:
-    """k-dimensional (approximate) null space of batched ``A`` via ``AᵀA``.
+def _jacobi_eigh_impl(A: jnp.ndarray, sweeps: int):
+    """Unrolled cyclic Jacobi eigendecomposition for a single small
+    symmetric matrix (vmap for batches)."""
+    n = A.shape[-1]
+    V = jnp.eye(n, dtype=A.dtype)
+    eps = jnp.asarray(jnp.finfo(A.dtype).tiny * 1e3, A.dtype)
+    for _ in range(sweeps):
+        for p in range(n - 1):
+            for q in range(p + 1, n):
+                apq = A[p, q]
+                app = A[p, p]
+                aqq = A[q, q]
+                # Givens rotation zeroing A[p, q] (branch-free Rutishauser).
+                tau = (aqq - app) / (2.0 * jnp.where(jnp.abs(apq) > eps, apq, 1.0))
+                t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+                t = jnp.where(jnp.abs(apq) > eps, jnp.where(tau == 0.0, 1.0, t), 0.0)
+                c = 1.0 / jnp.sqrt(1.0 + t * t)
+                s = t * c
+                # A ← JᵀAJ: update rows/cols p, q (static indices).
+                row_p = A[p, :] * c - A[q, :] * s
+                row_q = A[p, :] * s + A[q, :] * c
+                A = A.at[p, :].set(row_p).at[q, :].set(row_q)
+                col_p = A[:, p] * c - A[:, q] * s
+                col_q = A[:, p] * s + A[:, q] * c
+                A = A.at[:, p].set(col_p).at[:, q].set(col_q)
+                vp = V[:, p] * c - V[:, q] * s
+                vq = V[:, p] * s + V[:, q] * c
+                V = V.at[:, p].set(vp).at[:, q].set(vq)
+    w = jnp.diagonal(A)
+    order = jnp.argsort(w)
+    return w[order], V[:, order]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _jacobi_eigh_vjp(sweeps: int, A: jnp.ndarray):
+    return _jacobi_eigh_impl(A, sweeps)
+
+
+def _jacobi_fwd(sweeps, A):
+    w, v = _jacobi_eigh_impl(A, sweeps)
+    return (w, v), (w, v)
+
+
+def _jacobi_bwd(sweeps, res, cots):
+    return _safe_eigh_bwd(res, cots)
+
+
+_jacobi_eigh_vjp.defvjp(_jacobi_fwd, _jacobi_bwd)
+
+
+def jacobi_eigh(A: jnp.ndarray, sweeps: int = 8):
+    """Symmetric eigendecomposition via unrolled cyclic Jacobi — the
+    TPU-native replacement for ``linalg.eigh`` in the solver hot path.
+
+    Why not XLA's eigh: on TPU its f64 lowering compiles pathologically
+    slowly and its vmapped f64 backward produces NaNs; Jacobi is pure
+    mul/add with static indices — any dtype, fast to compile, exactly
+    vmappable. Backward uses the same gap-regularized VJP as
+    :func:`safe_eigh` (degenerate clusters contribute ~0 gradient instead
+    of NaN).
 
     Args:
-        A: (..., M, N) constraint matrices.
+        A: (n, n) symmetric (vmap for batches; n small — solvers use 4/9).
+        sweeps: fixed Jacobi sweeps (8 reaches fp64 machine precision for
+            n ≤ 16).
+
+    Returns:
+        (w (n,), V (n, n)): ascending eigenvalues, eigenvectors in columns.
+    """
+    return _jacobi_eigh_vjp(sweeps, A)
+
+
+def gram_schmidt(X: jnp.ndarray, eps: float = 1e-30) -> jnp.ndarray:
+    """Modified Gram–Schmidt orthonormalization of the columns of (n, k)."""
+    cols = []
+    k = X.shape[-1]
+    for i in range(k):
+        v = X[:, i]
+        for u in cols:
+            v = v - jnp.dot(u, v) * u
+        n = jnp.sqrt(jnp.sum(v * v))
+        cols.append(v / jnp.where(n > eps, n, 1.0))
+    return jnp.stack(cols, axis=-1)
+
+
+def _null_space_impl(A: jnp.ndarray, k: int):
+    """Hybrid precise null space: f32 XLA eigh (fast custom call) seeds one
+    f64 inverse-iteration step through the unrolled GJ solve.
+
+    Background: the minimal-solver null spaces need ~f64 accuracy (f32
+    conditioning costs 2-3 digits), but XLA's f64 eigh compiles
+    pathologically slowly on TPU and an unrolled Jacobi does too. A is
+    (m, n) with an EXACT ≥k-dim null space (m ≤ n − k for minimal samples),
+    so a single (G + εI)⁻¹ inverse-iteration step amplifies the null
+    directions by ~1/ε and recovers full working precision from the f32
+    seed. For non-minimal fits the smallest eigenvalue is noise-driven and
+    one step still contracts the f32 seed error by λ₁/λ₂.
+    """
+    n = A.shape[-1]
+    gram32 = jnp.einsum("mi,mj->ij", A.astype(jnp.float32), A.astype(jnp.float32))
+    w32, v32 = jnp.linalg.eigh(gram32)  # ascending
+    V0 = v32[:, :k].astype(A.dtype)
+    if A.dtype == jnp.float32:
+        return V0, (w32, v32)
+    G = jnp.einsum("mi,mj->ij", A, A)
+    eps = 1e-13 * (jnp.trace(G) / n + 1e-30)
+    X, ok = gauss_jordan_solve(G + eps * jnp.eye(n, dtype=A.dtype), V0)
+    X = jnp.where(ok & jnp.all(jnp.isfinite(X)), X, V0)
+    return gram_schmidt(X), (w32, v32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _null_space_vjp(k: int, A: jnp.ndarray):
+    X, _ = _null_space_impl(A, k)
+    return X
+
+
+def _null_space_fwd(k, A):
+    X, (w32, v32) = _null_space_impl(A, k)
+    return X, (A, X, w32, v32)
+
+
+def _null_space_bwd(k, res, dX):
+    A, X, w32, v32 = res
+    n = A.shape[-1]
+    dtype = A.dtype
+    # Gap-regularized eigh VJP with the refined null block substituted into
+    # the f32 spectrum's basis (approximately orthonormal — gradients are
+    # regularized anyway; cf. safe_eigh).
+    V_full = jnp.concatenate([X, v32[:, k:].astype(dtype)], axis=-1)
+    dv_full = jnp.concatenate([dX, jnp.zeros((n, n - k), dtype)], axis=-1)
+    w = w32.astype(dtype)
+    dw = jnp.zeros((n,), dtype)
+    (dG,) = _safe_eigh_bwd((w, V_full), (dw, dv_full))
+    dA = A @ (dG + dG.T)
+    return (dA,)
+
+
+_null_space_vjp.defvjp(_null_space_fwd, _null_space_bwd)
+
+
+def null_space_from_gram(A: jnp.ndarray, k: int) -> jnp.ndarray:
+    """k-dimensional (approximate) null space of a single ``A`` via ``AᵀA``
+    (vmapped by the solvers).
+
+    The matrix is column-preconditioned first (unit column norms): pixel-
+    coordinate constraint matrices have Gram entries spanning ~12 orders of
+    magnitude, which wipes out the null structure in the f32 seed of the
+    hybrid solve. The null subspace is scale-equivariant (null(A·D) =
+    D⁻¹·null(A)), so the basis maps back exactly.
+
+    Args:
+        A: (M, N) constraint matrix.
         k: null-space dimensionality to extract.
 
     Returns:
-        (..., N, k): eigenvectors of ``AᵀA`` for the k smallest eigenvalues,
-        ordered from smallest eigenvalue up.
+        (N, k): orthonormal basis ordered from the smallest eigenvalue up
+        (f64-refined for f64 inputs; see :func:`_null_space_impl`).
     """
-    gram = jnp.einsum("...mi,...mj->...ij", A, A)
-    _, vecs = safe_eigh(gram)  # ascending eigenvalues
-    return vecs[..., :k]
+    norms = jnp.sqrt(jnp.sum(A * A, axis=0)) + 1e-30
+    D = 1.0 / norms
+    Xs = _null_space_vjp(k, A * D[None, :])
+    return gram_schmidt(Xs * D[:, None])
 
 
 def gauss_jordan_solve(A: jnp.ndarray, B: jnp.ndarray, eps: float = 0.0):

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""SOTA inference path (the reference ``test_magsac.py`` counterpart).
+
+Architecture: the reference hands the ENTIRE search to C++ MAGSAC++
+(pymagsac) because its Python hypothesis loop is slow; here the batched
+hypothesis search runs on TPU and only the final σ-consensus polish + LM
+refinement run natively (csrc/, the pymagsac-equivalent boundary).
+
+Pipeline per pair: CLNet weights → TPU adaptive RANSAC → native
+σ-consensus polish (E: + LM over (R, t)) → pose metrics.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from differentiable_ransac_tpu import native
+from differentiable_ransac_tpu.config import OUTDOOR_TEST_SCENES, session_string
+from differentiable_ransac_tpu.data.datasets import TwoViewRecords
+from differentiable_ransac_tpu.evaluate import (
+    aggregate_essential,
+    aggregate_fundamental,
+    evaluate_essential_batch,
+    evaluate_fundamental_batch,
+    make_eval_step,
+)
+from differentiable_ransac_tpu.train import create_optimizer, create_train_state, load_checkpoint
+from differentiable_ransac_tpu.utils import MetricsLogger, build_parser, configs_from_args
+
+
+def main():
+    args = build_parser("TPU ∇-RANSAC + native σ-consensus (SOTA path)").parse_args()
+    args.tr = 0
+    tcfg, rcfg = configs_from_args(args)
+    if not native.available():
+        print("WARNING: native σ-consensus library unavailable (run `make -C csrc`); "
+              "falling back to the pure-TPU refit.")
+
+    scenes = OUTDOOR_TEST_SCENES if args.batch_mode else [args.datasets]
+    model, state = create_train_state(
+        jax.random.PRNGKey(0), tcfg, tcfg.nfeatures, create_optimizer(tcfg)
+    )
+    if args.model:
+        state = load_checkpoint(args.model, state)
+    eval_fn = make_eval_step(model, rcfg, int(tcfg.prob_type))
+    logger = MetricsLogger(args.out_dir, session_string("magsac", tcfg, rcfg))
+
+    for scene in scenes:
+        folder = os.path.join(args.data_path, scene, "test_data/")
+        if not os.path.isdir(folder):
+            print(f"skip {scene}: no data at {folder}")
+            continue
+        ds = TwoViewRecords([folder], tcfg.snn_threshold, tcfg.nfeatures, rcfg.fmat)
+        results = []
+        for batch in ds.batches(tcfg.batch_size):
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            models, masks, scores, iters, w = eval_fn(
+                state.params, state.batch_stats, jb, jax.random.PRNGKey(0)
+            )
+            models = np.asarray(models)
+            masks = np.asarray(masks)
+            if native.available():
+                for b in range(models.shape[0]):
+                    feats = np.asarray(batch["correspondences"][b])
+                    if rcfg.fmat:
+                        s1, s2 = batch["im_size1"][b], batch["im_size2"][b]
+                        pts = feats[:, :4].copy()
+                        pts[:, 0:2] = pts[:, 0:2] * s1.max() + np.array([s1[1] / 2, s1[0] / 2])
+                        pts[:, 2:4] = pts[:, 2:4] * s2.max() + np.array([s2[1] / 2, s2[0] / 2])
+                        polished, q = native.sigma_consensus_polish(
+                            pts, models[b], sigma_max=rcfg.threshold, essential=False
+                        )
+                    else:
+                        pts = feats[:, :4]
+                        focal = (batch["K1"][b][0, 0] + batch["K1"][b][1, 1]
+                                 + batch["K2"][b][0, 0] + batch["K2"][b][1, 1]) / 4
+                        polished, q = native.sigma_consensus_polish(
+                            pts, models[b], sigma_max=rcfg.threshold / focal, essential=True
+                        )
+                        idx = np.where(masks[b])[0]
+                        if len(idx) >= 6:
+                            polished, _ = native.optimize_essential(pts, idx, polished)
+                    if np.isfinite(polished).all() and q > 0:
+                        models[b] = polished
+            if rcfg.fmat:
+                results += evaluate_fundamental_batch(models, batch, rcfg.threshold)
+            else:
+                results += evaluate_essential_batch(models, batch)
+        agg = (aggregate_fundamental if rcfg.fmat else aggregate_essential)(results)
+        line = f"{scene}: " + " ".join(f"{k}={v:.4f}" for k, v in agg.items())
+        print(line)
+        logger.log_text(line)
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

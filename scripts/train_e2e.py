@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""End-to-end E/F training (the reference ``train.py`` counterpart).
+
+Example (the reference's best config, ``README.md:144``):
+    python scripts/train_e2e.py -pth <data> -nf 2000 -bs 32 -sam 2 -w2 1 -tr 1
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from differentiable_ransac_tpu.config import session_string
+from differentiable_ransac_tpu.data.datasets import TwoViewRecords
+from differentiable_ransac_tpu.train import (
+    create_optimizer,
+    create_train_state,
+    load_checkpoint,
+    make_train_step,
+    save_checkpoint,
+)
+from differentiable_ransac_tpu.utils import MetricsLogger, build_parser, configs_from_args
+
+
+def main():
+    args = build_parser("TPU ∇-RANSAC end-to-end training").parse_args()
+    args.tr = 1
+    tcfg, rcfg = configs_from_args(args)
+
+    train_dirs = [os.path.join(args.data_path, args.datasets, "train_data/")]
+    valid_dirs = [os.path.join(args.data_path, args.datasets, "valid_data/")]
+    train_ds = TwoViewRecords(train_dirs, tcfg.snn_threshold, tcfg.nfeatures, rcfg.fmat)
+    valid_ds = (
+        TwoViewRecords(valid_dirs, tcfg.snn_threshold, tcfg.nfeatures, rcfg.fmat)
+        if os.path.isdir(valid_dirs[0])
+        else None
+    )
+
+    tx = create_optimizer(tcfg, steps_per_epoch=max(1, len(train_ds) // tcfg.batch_size))
+    model, state = create_train_state(jax.random.PRNGKey(tcfg.seed), tcfg, tcfg.nfeatures, tx)
+    if args.model:
+        state = load_checkpoint(args.model, state)
+    step_fn = make_train_step(model, tx, tcfg, rcfg)
+
+    session = session_string("e2e", tcfg, rcfg)
+    logger = MetricsLogger(args.out_dir, session)
+    key = jax.random.PRNGKey(tcfg.seed + 1)
+
+    for epoch in range(tcfg.epochs):
+        t0 = time.time()
+        for batch in train_ds.batches(tcfg.batch_size, shuffle=True):
+            key, sub = jax.random.split(key)
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, metrics = step_fn(state, jb, sub)
+            if int(state.step) % 10 == 0:
+                logger.log(int(state.step), {k: float(v) for k, v in metrics.items()},
+                           prefix="train/")
+                print(f"epoch {epoch} step {int(state.step)} "
+                      f"loss {float(metrics['loss']):.4f} "
+                      f"({time.time() - t0:.1f}s)")
+        save_checkpoint(os.path.join(logger.dir, f"model_epoch_{epoch}.pkl"), state)
+
+        if valid_ds is not None:
+            from differentiable_ransac_tpu.evaluate import (
+                aggregate_essential,
+                evaluate_essential_batch,
+                make_eval_step,
+            )
+
+            eval_cfg = rcfg.replace(train=False, max_iterations=1000)
+            eval_fn = make_eval_step(model, eval_cfg, int(tcfg.prob_type))
+            results = []
+            for batch in valid_ds.batches(tcfg.batch_size):
+                jb = {k: jnp.asarray(v) for k, v in batch.items()}
+                models, *_ = eval_fn(state.params, state.batch_stats, jb, key)
+                results += evaluate_essential_batch(models, batch)
+            agg = aggregate_essential(results)
+            logger.log(int(state.step), agg, prefix="valid/")
+            print(f"epoch {epoch} valid: {agg}")
+
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

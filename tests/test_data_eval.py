@@ -1,0 +1,151 @@
+"""Data-pipeline + evaluation integration tests (reference test.py semantics)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from differentiable_ransac_tpu.config import ModelKind, RansacConfig, SamplerKind, TrainConfig
+from differentiable_ransac_tpu.data.datasets import (
+    ThreeDRecords,
+    TwoViewRecords,
+    undistort_points,
+    write_synthetic_two_view_record,
+)
+from differentiable_ransac_tpu.evaluate import (
+    aggregate_essential,
+    aggregate_fundamental,
+    evaluate_essential_batch,
+    evaluate_fundamental_batch,
+    make_eval_step,
+)
+from differentiable_ransac_tpu.models.clnet import CLNet
+from differentiable_ransac_tpu.ops import metrics
+from differentiable_ransac_tpu.train import create_optimizer, create_train_state
+
+
+@pytest.fixture(scope="module")
+def record_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("records")
+    gts = []
+    for i in range(4):
+        p = write_synthetic_two_view_record(str(d / f"pair_{i}.npy"), n_points=300, seed=i)
+        gts.append(p)
+    return d, gts
+
+
+def test_two_view_records_e_mode(record_dir):
+    d, gts = record_dir
+    ds = TwoViewRecords([str(d)], nfeatures=256, fmat=False)
+    assert len(ds) == 4
+    item = ds[0]
+    assert item["correspondences"].shape == (256, 7)
+    # calibrated coordinates: bounded, and gt_E vanishes on true inliers
+    c = item["correspondences"]
+    assert np.abs(c[:, :4]).max() < 2.0
+    # record matches the generator's GT
+    np.testing.assert_allclose(item["K1"], gts[0]["K"], rtol=1e-5)
+
+
+def test_two_view_records_f_mode(record_dir):
+    d, _ = record_dir
+    ds = TwoViewRecords([str(d)], nfeatures=256, fmat=True)
+    item = ds[0]
+    c = item["correspondences"]
+    # image-size normalized: within [-0.5, 0.5]-ish
+    assert np.abs(c[:, :4]).max() < 0.75
+    assert np.isfinite(item["gt_F"]).all()
+
+
+def test_two_view_batches(record_dir):
+    d, _ = record_dir
+    ds = TwoViewRecords([str(d)], nfeatures=128, fmat=False)
+    batches = list(ds.batches(2))
+    assert len(batches) == 2
+    assert batches[0]["correspondences"].shape == (2, 128, 7)
+    assert batches[0]["gt_E"].shape == (2, 3, 3)
+
+
+def test_undistort_matches_reference_cv2(record_dir):
+    import cv2
+
+    rng = np.random.default_rng(0)
+    K = np.array([[1000.0, 0, 512], [0, 980.0, 384], [0, 0, 1]], np.float32)
+    pts = rng.uniform(0, 1000, (1, 50, 2)).astype(np.float32)
+    want = cv2.undistortPoints(pts, K, None)[:, :, :]
+    got = undistort_points(pts[0], K)
+    np.testing.assert_allclose(got, want.reshape(50, 2), atol=1e-4)
+
+
+def test_eval_pipeline_end_to_end_essential(record_dir):
+    """Full test.py-semantics eval on synthetic records with an untrained
+    network: RANSAC must still nail the poses (30% outliers)."""
+    d, _ = record_dir
+    ds = TwoViewRecords([str(d)], nfeatures=256, fmat=False)
+    cfg = TrainConfig()
+    model, state = create_train_state(jax.random.PRNGKey(0), cfg, 256,
+                                      create_optimizer(cfg))
+    rcfg = RansacConfig(model=ModelKind.ESSENTIAL, sampler=SamplerKind.GUMBEL,
+                        max_iterations=1000, threshold=2.0)
+    step = make_eval_step(model, rcfg)
+    results = []
+    for batch in ds.batches(2):
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        models, masks, scores, iters, w = step(state.params, state.batch_stats,
+                                               jb, jax.random.PRNGKey(0))
+        results += evaluate_essential_batch(models, batch)
+    agg = aggregate_essential(results)
+    assert agg["median_pose_error"] < 5.0, agg
+    assert agg["AUC@20"] > 0.5, agg
+
+
+def test_eval_pipeline_end_to_end_fundamental(record_dir):
+    d, _ = record_dir
+    ds = TwoViewRecords([str(d)], nfeatures=256, fmat=True)
+    cfg = TrainConfig()
+    model, state = create_train_state(jax.random.PRNGKey(0), cfg, 256,
+                                      create_optimizer(cfg))
+    rcfg = RansacConfig(model=ModelKind.FUNDAMENTAL, sampler=SamplerKind.GUMBEL_8PT,
+                        max_iterations=1000, threshold=0.75)
+    step = make_eval_step(model, rcfg)
+    results = []
+    for batch in ds.batches(2):
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        models, masks, scores, iters, w = step(state.params, state.batch_stats,
+                                               jb, jax.random.PRNGKey(0))
+        results += evaluate_fundamental_batch(models, batch)
+    agg = aggregate_fundamental(results)
+    assert agg["valid_fraction"] > 0.5
+    assert agg["F1"] > 0.5, agg
+
+
+def test_three_d_records(tmp_path):
+    rng = np.random.default_rng(0)
+    from differentiable_ransac_tpu.data.synthetic import rigid_problem
+
+    for i in range(2):
+        p = rigid_problem(n_points=150, noise=0.01, outlier_ratio=0.3, seed=i)
+        np.savez(
+            tmp_path / f"cloud_{i}.npz",
+            transform=p["transform"],
+            corr_scores=rng.uniform(0, 1, 150).astype(np.float32),
+            src_corr_points=p["points"][:, :3],
+            ref_corr_points=p["points"][:, 3:],
+        )
+    ds = ThreeDRecords([str(tmp_path)], num=200)
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["correspondences"].shape == (200, 7)
+    assert item["gt_pose"].shape == (4, 4)
+    b = next(ds.batches(2))
+    assert b["correspondences"].shape == (2, 200, 7)
+
+
+def test_auc_metric_reference_values():
+    # identical to the reference AUC on a known error list
+    losses = [1.0, 3.0, 7.0, 12.0, 25.0]
+    a5, a10, a20 = metrics.auc(losses)
+    assert a5 == pytest.approx(0.4)
+    # cumulative hist bins of 5: [0.4, 0.6, 0.8, 0.8] -> means over prefixes
+    assert a10 == pytest.approx((0.4 + 0.6) / 2)
+    assert a20 == pytest.approx((0.4 + 0.6 + 0.8 + 0.8) / 4)
