@@ -237,6 +237,28 @@ def essential_5pt_nister(
     return E.astype(out_dtype), valid
 
 
+def essential_5pt_stewenius(
+    matches: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+    solve_dtype=jnp.float64,
+):
+    """Stewenius-formulation 5PC (reference
+    ``estimators/essential_matrix_estimator_stewenius.py:5-172``).
+
+    The Stewenius action-matrix method and the Nistér elimination share the
+    same 10×20 polynomial system; the action matrix's eigenvalues are
+    exactly the roots of the degree-10 determinant polynomial this module
+    already solves (its characteristic polynomial), and the eigenvector
+    back-substitution recovers the same (x, y) per root. On TPU a
+    non-symmetric 10×10 eigendecomposition is unavailable, so both solver
+    entry points run the shared elimination + Aberth pipeline — the solution
+    sets are mathematically identical. (The reference's Stewenius class is
+    unreachable from its default wiring and carries an unset ``self.device``
+    bug, SURVEY.md §2.4.)
+    """
+    return essential_5pt_nister(matches, weights, solve_dtype)
+
+
 def essential_nonminimal(matches: jnp.ndarray, weights: jnp.ndarray | None = None) -> jnp.ndarray:
     """Non-minimal E refit: weighted DLT null vector + projection onto the
     essential manifold (singular values (1,1,0)).
