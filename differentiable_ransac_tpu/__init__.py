@@ -9,6 +9,8 @@ end-to-end training — all as fixed-shape jitted programs over a
 ``(pairs, hypotheses)`` lane grid, sharded with ``jax.sharding`` meshes.
 """
 
+import os as _os
+
 import jax as _jax
 
 # The minimal solvers run their tiny per-sample cores (10×20 elimination,
@@ -16,6 +18,20 @@ import jax as _jax
 # (the bulk compute — scoring matmuls, the network — stays explicitly fp32/bf16).
 # x64 must be enabled process-wide for float64 dtypes to exist.
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: TPU compiles of the full engine take minutes;
+# cache them across processes. Opt out with DRT_NO_COMPILATION_CACHE=1.
+if not _os.environ.get("DRT_NO_COMPILATION_CACHE"):
+    try:
+        _cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.expanduser("~/.cache/differentiable_ransac_tpu/xla"),
+        )
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # pragma: no cover — cache is best-effort
+        pass
 
 from differentiable_ransac_tpu.config import RansacConfig, ModelKind, SamplerKind
 

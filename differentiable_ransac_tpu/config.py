@@ -79,6 +79,13 @@ class RansacConfig:
     train: bool = False
     eps: float = 1e-5
     precision: int = 1  # 0 fp16, 1 fp32, 2 fp64 (reference ``utils.py:42-43``)
+    # Precision of the minimal-solver cores (elimination, root finding):
+    # 2 = f64 (accurate; default), 1 = f32 (faster compile/run, 2-3 digits
+    # looser — the reference's torch-f32 accuracy class).
+    solver_precision: int = 2
+    # Use the fused Pallas MSAC kernel for scoring in fixed-budget search
+    # (TPU only; forward-only paths).
+    use_pallas_scoring: bool = False
 
     @property
     def dtype(self):

@@ -54,6 +54,7 @@ from differentiable_ransac_tpu.solvers import (
 
 def _minimal_solver(cfg: RansacConfig):
     """Single-sample minimal solver fn(sample[, weights]) -> (S,3,3), (S,)."""
+    solve_dtype = jnp.float64 if cfg.solver_precision >= 2 else jnp.float32
     if cfg.model == ModelKind.ESSENTIAL:
         if cfg.sampler == SamplerKind.GUMBEL_8PT:
             # 8-point samples solved with the non-minimal DLT + manifold
@@ -64,12 +65,18 @@ def _minimal_solver(cfg: RansacConfig):
                 return E[None], valid[None]
 
             return solve
-        return essential_5pt_nister
+
+        def solve5(sample, weights=None):
+            return essential_5pt_nister(sample, weights, solve_dtype=solve_dtype)
+
+        return solve5
     if cfg.model == ModelKind.FUNDAMENTAL:
         if cfg.sampler == SamplerKind.GUMBEL_8PT:
-            return fundamental_8pt
+            def solve8(sample, weights=None):
+                return fundamental_8pt(sample, weights, solve_dtype=solve_dtype)
+            return solve8
         def solve7(sample, weights=None):
-            return fundamental_7pt(sample)
+            return fundamental_7pt(sample, solve_dtype=solve_dtype)
         return solve7
     if cfg.model == ModelKind.RIGID:
         return rigid_3pt
@@ -240,12 +247,23 @@ def ransac_fixed(
     models, valid, _ = _draw_and_solve(cfg, points, logits, key, H)
     flat = models.reshape((-1,) + models.shape[2:])
     flat_valid = valid.reshape(-1)
-    scores, masks = _score(cfg, points, flat, threshold, point_mask)
-    scores = jnp.where(flat_valid, scores, -jnp.inf)
-    best_idx = jnp.argmax(scores)
+    if cfg.use_pallas_scoring and cfg.model != ModelKind.RIGID:
+        from differentiable_ransac_tpu.pallas_kernels import msac_scores_pallas
+
+        scores = msac_scores_pallas(points, flat, threshold, point_mask)
+        scores = jnp.where(flat_valid, scores, -jnp.inf)
+        best_idx = jnp.argmax(scores)
+        # inlier mask only for the winner (cheap single-model pass)
+        _, masks1 = _score(cfg, points, flat[best_idx][None], threshold, point_mask)
+        best_mask = masks1[0]
+    else:
+        scores, masks = _score(cfg, points, flat, threshold, point_mask)
+        scores = jnp.where(flat_valid, scores, -jnp.inf)
+        best_idx = jnp.argmax(scores)
+        best_mask = masks[best_idx]
     return {
         "best_model": flat[best_idx],
-        "best_mask": masks[best_idx],
+        "best_mask": best_mask,
         "best_score": scores[best_idx],
         "best_index": best_idx,
         "scores": scores,

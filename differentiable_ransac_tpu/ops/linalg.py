@@ -220,7 +220,7 @@ def null_space_from_gram(A: jnp.ndarray, k: int) -> jnp.ndarray:
     return gram_schmidt(Xs * D[:, None])
 
 
-def gauss_jordan_solve(A: jnp.ndarray, B: jnp.ndarray, eps: float = 0.0):
+def gauss_jordan_solve(A: jnp.ndarray, B: jnp.ndarray, rtol: float = 1e-13):
     """Solve ``A @ X = B`` for one small static-size system by unrolled
     Gauss–Jordan elimination with partial pivoting.
 
@@ -233,11 +233,17 @@ def gauss_jordan_solve(A: jnp.ndarray, B: jnp.ndarray, eps: float = 0.0):
 
     Args:
         A: (n, n). B: (n, m).
+        rtol: relative pivot tolerance — a pivot below ``rtol·max|A|`` marks
+            the system numerically singular (degenerate minimal samples
+            produce ~1e-300 pivots whose reciprocals overflow downstream;
+            an exact-zero test does not catch them).
 
     Returns:
-        (X (n, m), ok ()): ``ok`` is False when a pivot vanished.
+        (X (n, m), ok ()): ``ok`` is False when the system is singular.
     """
     n = A.shape[-2]
+    scale = jnp.max(jnp.abs(A)) + 1e-300
+    tol = rtol * scale
     M = jnp.concatenate([A, B], axis=-1)
     rows = jnp.arange(n)
     ok = jnp.asarray(True)
@@ -249,11 +255,15 @@ def gauss_jordan_solve(A: jnp.ndarray, B: jnp.ndarray, eps: float = 0.0):
         rowj, rowp = M[j], M[p]
         M = M.at[p].set(rowj).at[j].set(rowp)
         piv = M[j, j]
-        ok = ok & (jnp.abs(piv) > eps)
-        M = M.at[j].set(M[j] / jnp.where(jnp.abs(piv) > eps, piv, 1.0))
+        piv_ok = jnp.abs(piv) > tol
+        ok = ok & piv_ok
+        M = M.at[j].set(M[j] / jnp.where(piv_ok, piv, 1.0))
         factors = jnp.where(rows == j, 0.0, M[:, j])
         M = M - factors[:, None] * M[j][None, :]
-    return M[:, n:], ok
+    X = M[:, n:]
+    # zero (rather than propagate) the output of singular lanes so no inf
+    # reaches downstream gradients
+    return jnp.where(ok, X, 0.0), ok
 
 
 def svd3x3(M: jnp.ndarray):

@@ -145,3 +145,91 @@ def inlier_ratio_3d(src: np.ndarray, ref: np.ndarray, transform: np.ndarray, tau
     moved = apply_transform(src, transform)
     residuals = np.linalg.norm(ref - moved, axis=1)
     return float(np.mean(residuals < tau))
+
+
+def modified_chamfer_distance(raw_points, ref_points, src_points,
+                              gt_transform, est_transform) -> float:
+    """Modified chamfer distance (RPMNet formulation; reference
+    ``registration_utils.py:114-131``): ``d(T·src → raw) + d(ref →
+    (T·gt⁻¹)·raw)``."""
+    from scipy.spatial import cKDTree
+
+    aligned_src = apply_transform(src_points, est_transform)
+    d_pq = cKDTree(raw_points).query(aligned_src)[0].mean()
+    composed = est_transform @ np.linalg.inv(gt_transform)
+    aligned_raw = apply_transform(raw_points, composed)
+    d_qp = cKDTree(aligned_raw).query(ref_points)[0].mean()
+    return float(d_pq + d_qp)
+
+
+def overlap_ratio(ref_points: np.ndarray, src_points: np.ndarray,
+                  transform: np.ndarray | None = None,
+                  positive_radius: float = 0.1) -> float:
+    """Fraction of ref points with a src neighbor within radius after
+    alignment (reference ``registration_utils.py:150-156``)."""
+    from scipy.spatial import cKDTree
+
+    if transform is not None:
+        src_points = apply_transform(src_points, transform)
+    dists, _ = cKDTree(src_points).query(ref_points)
+    return float(np.mean(dists < positive_radius))
+
+
+def ground_truth_correspondences(ref_points: np.ndarray, src_points: np.ndarray,
+                                 transform: np.ndarray, matching_radius: float):
+    """GT correspondence pairs via nearest-neighbor search after alignment
+    (reference ``registration_utils.py:162-174``).
+
+    Returns (ref_idx, src_idx) arrays of matched pairs within the radius.
+    """
+    from scipy.spatial import cKDTree
+
+    src_aligned = apply_transform(src_points, transform)
+    dists, idx = cKDTree(src_aligned).query(ref_points)
+    keep = dists < matching_radius
+    return np.nonzero(keep)[0], idx[keep]
+
+
+def correspondence_precision_recall(pred_ref_idx, pred_src_idx,
+                                    gt_ref_idx, gt_src_idx):
+    """Sparse-correspondence precision/recall (reference
+    ``registration_utils.py:254-282``)."""
+    gt = set(zip(np.asarray(gt_ref_idx).tolist(), np.asarray(gt_src_idx).tolist()))
+    pred = list(zip(np.asarray(pred_ref_idx).tolist(), np.asarray(pred_src_idx).tolist()))
+    if not pred or not gt:
+        return 0.0, 0.0
+    hits = sum(1 for p in pred if p in gt)
+    return hits / len(pred), hits / len(gt)
+
+
+# ---------------------------------------------------------------------------
+# Orientation / scale errors of epipolar models (reference cv_utils.py:430-475)
+# ---------------------------------------------------------------------------
+
+def orientation_error(pts1: np.ndarray, pts2: np.ndarray, M: np.ndarray,
+                      ang: np.ndarray) -> np.ndarray:
+    """Angular deviation between epipolar-line normals vs SIFT orientation
+    difference (reference ``cv_utils.py:430-456``)."""
+    n = pts1.shape[0]
+    h1 = np.concatenate([pts1, np.ones((n, 1))], axis=1)
+    h2 = np.concatenate([pts2, np.ones((n, 1))], axis=1)
+    l1 = (M.T @ h2.T)[0:2]  # (2, N)
+    l2 = (M @ h1.T)[0:2]
+    n1 = l1 / (np.linalg.norm(l1, axis=0, keepdims=True) + _EPS)
+    n2 = l2 / (np.linalg.norm(l2, axis=0, keepdims=True) + _EPS)
+    alpha = np.arccos(np.clip(np.sum(n1 * n2, axis=0), -1.0, 1.0))
+    return np.abs(alpha - np.asarray(ang).reshape(-1))
+
+
+def scale_error(pts1: np.ndarray, pts2: np.ndarray, M: np.ndarray,
+                scale_ratio: np.ndarray) -> float:
+    """Scale consistency of epipolar line norms (reference
+    ``cv_utils.py:459-475``)."""
+    n = pts1.shape[0]
+    h1 = np.concatenate([pts1, np.ones((n, 1))], axis=1)
+    h2 = np.concatenate([pts2, np.ones((n, 1))], axis=1)
+    l1 = (M.T @ h2.T)[0:2]
+    l2 = (M @ h1.T)[0:2]
+    l1_norm = np.linalg.norm(np.asarray(scale_ratio).reshape(-1) * l1)
+    l2_norm = np.linalg.norm(l2)
+    return float(abs(l1_norm - l2_norm))

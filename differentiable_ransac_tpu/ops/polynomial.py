@@ -268,6 +268,10 @@ def _aberth_roots_impl(
         rr = rr - jnp.where(fp_ok, f / jnp.where(fp_ok, fp, 1.0), 0.0)
 
     valid = is_real & lead_ok[..., None] & jnp.isfinite(rr)
+    # Sanitize: non-finite slots become 0 so no inf/NaN primal reaches
+    # downstream consumers (a multiplication VJP computes cotangent·primal —
+    # an inf primal NaNs the backward pass even under a zero cotangent).
+    rr = jnp.where(jnp.isfinite(rr), rr, 0.0)
     return rr * alpha[..., None], valid
 
 
@@ -285,11 +289,22 @@ def _aberth_bwd(iters, newton_polish, real_tol, res, cots):
     coeffs, roots, valid = res
     droots, _dvalid = cots
     d = roots.shape[-1]
+    # Invalid slots can hold ±inf/NaN roots; every use below must see a
+    # finite placeholder or the masked-out lanes still poison the sums
+    # (0·inf = NaN).
+    roots = jnp.where(valid & jnp.isfinite(roots), roots, 0.0)
+    droots = jnp.where(jnp.isfinite(droots), droots, 0.0)
     dp = polyval(polyder(coeffs)[..., None, :], roots)  # p'(z) per slot
-    # Lorentzian-regularized reciprocal: multiple roots contribute ~0.
+    # Lorentzian-regularized reciprocal: multiple roots contribute ~0. The
+    # regularizer is relative to both the polynomial scale and |p'| itself,
+    # and the sensitivity is hard-capped — gradients through (near-)multiple
+    # roots are genuinely unbounded; a bounded surrogate keeps training
+    # stable (same spirit as safe_eigh's gap regularization).
     scale = jnp.max(jnp.abs(coeffs), axis=-1, keepdims=True) + 1e-30
-    eps = (1e-9 * scale) ** 2
+    eps = (1e-9 * (scale + jnp.abs(dp))) ** 2
     inv_dp = dp / (dp * dp + eps)
+    cap = 1e8 / scale
+    inv_dp = jnp.clip(inv_dp, -cap, cap)
     sens = jnp.where(valid, -droots * inv_dp, 0.0)  # (..., D)
     # dc_k = Σ_slots sens_i · z_i^k, built with cumulative powers.
     dc = []
@@ -301,6 +316,57 @@ def _aberth_bwd(iters, newton_polish, real_tol, res, cots):
 
 
 _aberth_vjp.defvjp(_aberth_fwd, _aberth_bwd)
+
+
+def sturm_sign_changes(coeffs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Number of sign changes of the Sturm chain of ``p`` at points ``x``.
+
+    Fixed-shape Sturm machinery (the reference re-implements graph-cut
+    RANSAC's Sturm solver in Python loops, ``math_utils.py:111-501``): the
+    chain is built by synthetic polynomial division with degrees decreasing
+    by exactly one (generic case; degenerate remainders are scale-guarded).
+    ``count(a) − count(b)`` is the number of real roots in ``(a, b]``.
+
+    Args:
+        coeffs: (D+1,) ascending coefficients of one polynomial.
+        x: (...,) evaluation points.
+
+    Returns:
+        (...,) int32 sign-change counts.
+    """
+    d = coeffs.shape[-1] - 1
+    chain = [coeffs, polyder(coeffs)]
+    # p_{k+1} = -rem(p_{k-1}, p_k); with deg decreasing by 1, the remainder
+    # of (deg n) by (deg n-1) is computed with two elimination steps.
+    for k in range(d - 1):
+        p_hi = chain[-2]  # (n+1,) degree n
+        p_lo = chain[-1]  # (n,)   degree n-1
+        n = p_hi.shape[-1] - 1
+        lead_lo = p_lo[-1]
+        safe = jnp.where(jnp.abs(lead_lo) > 1e-300, lead_lo, 1.0)
+        q1 = p_hi[-1] / safe  # x-term quotient
+        t = p_hi[:-1] - q1 * jnp.concatenate([jnp.zeros((1,), p_hi.dtype), p_lo[:-1]])
+        q0 = t[-1] / safe
+        r = t[:-1] - q0 * p_lo[:-1]
+        chain.append(-r)
+    # evaluate the chain and count sign flips
+    signs = []
+    for p in chain:
+        v = polyval(p, x)
+        signs.append(jnp.where(v > 0, 1, jnp.where(v < 0, -1, 0)))
+    flips = jnp.zeros(x.shape, jnp.int32)
+    prev = signs[0]
+    for s in signs[1:]:
+        effective = jnp.where(s == 0, prev, s)
+        flips = flips + (effective * prev < 0).astype(jnp.int32)
+        prev = effective
+    return flips
+
+
+def sturm_count_real_roots(coeffs: jnp.ndarray, lo: float, hi: float) -> jnp.ndarray:
+    """Number of distinct real roots of ``p`` in (lo, hi]."""
+    counts = sturm_sign_changes(coeffs, jnp.asarray([lo, hi], coeffs.dtype))
+    return counts[0] - counts[1]
 
 
 def aberth_roots(

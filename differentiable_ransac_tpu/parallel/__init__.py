@@ -1,4 +1,5 @@
 from differentiable_ransac_tpu.parallel.mesh import (
+    initialize_distributed,
     make_mesh,
     sharded_ransac,
     sharded_match_loss_hypotheses,

@@ -30,6 +30,28 @@ from differentiable_ransac_tpu.config import RansacConfig
 from differentiable_ransac_tpu.engine import ransac_fixed, refit_best
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> int:
+    """Multi-host initialization (N≥2 TPU hosts): thin wrapper over
+    ``jax.distributed.initialize`` — call once per host before building
+    meshes; afterwards ``jax.devices()`` spans the pod slice and
+    :func:`make_mesh` shards over all of it. No-op when already initialized
+    or running single-host. Returns the global device count."""
+    import jax
+
+    if coordinator_address is not None:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        except RuntimeError:
+            pass  # already initialized
+    return jax.device_count()
+
+
 def make_mesh(pairs: int = 1, hyp: Optional[int] = None, devices=None) -> Mesh:
     """Build a ``(pairs, hyp)`` mesh over the available devices.
 

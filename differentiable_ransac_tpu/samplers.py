@@ -69,6 +69,15 @@ def gather_minimal_samples(matches: jnp.ndarray, indices: jnp.ndarray, st_mask: 
     return jnp.take_along_axis(masked, indices[:, :, None], axis=1)
 
 
+def prosac_rank_probabilities(num_points: int) -> jnp.ndarray:
+    """PROSAC-style probabilities from SNN-ratio ordering (reference
+    ``feature_utils.py:52-58``): correspondences assumed pre-sorted by
+    quality; probability decays linearly with rank. Feed as (log-)weights to
+    the Gumbel sampler for importance-ordered sampling."""
+    i = jnp.arange(num_points, dtype=jnp.float32)
+    return 1.0 - i / num_points
+
+
 def uniform_sample(key: jax.Array, num_points: int, num_hypotheses: int, num_samples: int):
     """(H, k) uniform minimal-sample indices, without replacement per
     hypothesis (the reference's ``torch.randint`` sampler can repeat a point

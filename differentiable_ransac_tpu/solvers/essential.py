@@ -164,8 +164,12 @@ def essential_5pt_nister(
     M = jnp.concatenate([trace_rows, det_row[None, :]], axis=0)  # (10, 20)
 
     # --- Gauss–Jordan elimination ---------------------------------------
+    # The magnitude bound is the fixed-shape analogue of the reference's
+    # rank filter (``essential_matrix_estimator_nister.py:155-163``):
+    # near-singular systems produce astronomically scaled eliminations whose
+    # downstream squares overflow (also in gradients).
     elim, gj_ok = gauss_jordan_solve(M[:, :10], M[:, 10:])  # (10, 10)
-    elim_ok = gj_ok & jnp.all(jnp.isfinite(elim))
+    elim_ok = gj_ok & jnp.all(jnp.isfinite(elim)) & (jnp.max(jnp.abs(elim)) < 1e8)
     elim = jnp.where(elim_ok, elim, 0.0)
 
     # --- derived rows: x·p_i(z) + y·q_i(z) + c_i(z) = 0 ------------------
@@ -188,10 +192,17 @@ def essential_5pt_nister(
         - polymul(q0, polymul(p1, c2) - polymul(p2, c1))
         + polymul(c0, polymul(p1, q2) - polymul(p2, q1))
     )  # (11,) ascending
+    # Normalize the coefficient scale (roots unchanged): degenerate samples
+    # can shrink the whole polynomial to ~1e-20, which breaks relative
+    # tolerances in the root solver's implicit backward pass.
+    poly = poly / (jnp.max(jnp.abs(poly)) + 1e-300)
 
     roots, root_valid = aberth_roots(poly[None, :])  # (1, 10)
     z = roots[0]
     root_valid = root_valid[0]
+    # No non-finite primal may flow on (inf primals NaN the backward pass of
+    # every multiplication they touch, even on masked-out lanes).
+    z = jnp.where(root_valid & jnp.isfinite(z), z, 0.0)
 
     # --- back-substitute (x, y) per root ---------------------------------
     pz = jnp.stack([polyval(p0, z), polyval(p1, z), polyval(p2, z)], axis=-1)  # (10, 3)

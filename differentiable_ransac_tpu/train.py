@@ -261,6 +261,10 @@ def make_train_step_rigid(model: CLNet, tx, cfg: TrainConfig, ransac_cfg: Ransac
 def save_checkpoint(path: str, state: TrainState):
     import pickle
 
+    # multi-host: every host holds replicated state; only host 0 writes
+    if jax.process_index() != 0:
+        return
+
     blob = {
         "params": flax.serialization.to_state_dict(state.params),
         "batch_stats": flax.serialization.to_state_dict(state.batch_stats),
