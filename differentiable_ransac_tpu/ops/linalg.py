@@ -220,7 +220,7 @@ def null_space_from_gram(A: jnp.ndarray, k: int) -> jnp.ndarray:
     return gram_schmidt(Xs * D[:, None])
 
 
-def gauss_jordan_solve(A: jnp.ndarray, B: jnp.ndarray, rtol: float = 1e-13):
+def _gauss_jordan_impl(A: jnp.ndarray, B: jnp.ndarray, rtol: float = 1e-13):
     """Solve ``A @ X = B`` for one small static-size system by unrolled
     Gauss–Jordan elimination with partial pivoting.
 
@@ -264,6 +264,39 @@ def gauss_jordan_solve(A: jnp.ndarray, B: jnp.ndarray, rtol: float = 1e-13):
     # zero (rather than propagate) the output of singular lanes so no inf
     # reaches downstream gradients
     return jnp.where(ok, X, 0.0), ok
+
+
+@jax.custom_vjp
+def _gauss_jordan_vjp(A: jnp.ndarray, B: jnp.ndarray):
+    return _gauss_jordan_impl(A, B)
+
+
+def _gj_fwd(A, B):
+    X, ok = _gauss_jordan_impl(A, B)
+    return (X, ok), (A, X, ok)
+
+
+def _gj_bwd(res, cots):
+    A, X, ok = res
+    dX, _dok = cots
+    dX = jnp.where(jnp.isfinite(dX), dX, 0.0)
+    # Implicit differentiation of A X = B: dB = A⁻ᵀ dX, dA = −dB Xᵀ.
+    # (Autodiff through the elimination itself produces 1/pivot² terms that
+    # explode on near-singular lanes; the implicit form pays conditioning
+    # only once, and singular lanes return zero gradients.)
+    gB, ok2 = _gauss_jordan_impl(A.T, dX)
+    gB = jnp.where(ok & ok2 & jnp.all(jnp.isfinite(gB)), gB, 0.0)
+    gA = -gB @ X.T
+    return gA, gB
+
+
+_gauss_jordan_vjp.defvjp(_gj_fwd, _gj_bwd)
+
+
+def gauss_jordan_solve(A: jnp.ndarray, B: jnp.ndarray):
+    """Solve ``A @ X = B`` (see :func:`_gauss_jordan_impl`) with an implicit
+    VJP that stays bounded on near-singular systems."""
+    return _gauss_jordan_vjp(A, B)
 
 
 def svd3x3(M: jnp.ndarray):
