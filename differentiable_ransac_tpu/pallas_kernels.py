@@ -7,8 +7,14 @@ grid step loads a tile of models (tiny) and a tile of points, computes the
 Sampson distances and accumulates soft-inlier scores in-register. HBM
 traffic drops from ~3·H·3·N floats to H·N inputs read once.
 
-Used by the engine when ``use_pallas=True`` (TPU only); the jnp path is the
-reference implementation and the fallback everywhere else.
+Used by the engine when ``use_pallas_scoring=True`` (TPU only); the jnp path
+is the reference implementation and the fallback everywhere else.
+
+Status note: correctness is pinned against the jnp scorer (interpret-mode
+tests). On the current axon-tunneled dev chip, Mosaic kernel compilation is
+broken by the tunnel itself (it injects a warning string into
+``TPU_WORKER_HOSTNAMES`` server-side), so the flag defaults to off; on
+directly-attached TPUs the kernel compiles through the standard Mosaic path.
 """
 
 from __future__ import annotations
