@@ -91,6 +91,7 @@ def sharded_ransac(
     keys: jax.Array,
     thresholds: jnp.ndarray,
     point_mask: Optional[jnp.ndarray] = None,
+    rescued: bool = True,
 ):
     """Batched best-model search sharded over ``(pairs, hyp)``.
 
@@ -108,14 +109,17 @@ def sharded_ransac(
     Returns:
         (best_models (B, 3, 3), best_masks (B, N), best_scores (B,)).
     """
+    from differentiable_ransac_tpu.engine import ransac_fixed_rescued
+
     n_hyp = mesh.shape["hyp"]
     local_h = -(-cfg.num_hypotheses // n_hyp)
+    engine = ransac_fixed_rescued if rescued else ransac_fixed
 
     def per_pair(pts, lg, seed, thr, pmask):
         shard = jax.lax.axis_index("hyp")
         key = jax.random.fold_in(jax.random.PRNGKey(seed), shard)
-        out = ransac_fixed(cfg, pts, lg, key, threshold=thr,
-                           point_mask=pmask, num_hypotheses=local_h)
+        out = engine(cfg, pts, lg, key, threshold=thr,
+                     point_mask=pmask, num_hypotheses=local_h)
         score, (model, mask) = _global_argmax_select(
             out["best_score"],
             (out["best_model"], out["best_mask"].astype(pts.dtype)),

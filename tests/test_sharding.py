@@ -61,7 +61,8 @@ def test_sharded_ransac_matches_single_device_semantics():
     logits = jnp.zeros((1, pts.shape[1]), jnp.float32)
     keys = jnp.asarray([7], jnp.uint32)
     thr = jnp.full((1,), 2.0 / 1000.0, jnp.float32)
-    models, masks, scores = sharded_ransac(cfg, mesh, pts, logits, keys, thr)
+    models, masks, scores = sharded_ransac(cfg, mesh, pts, logits, keys, thr,
+                                           rescued=False)
 
     # replicate on one device: same shard keys, concatenated lanes
     local_h = -(-cfg.num_hypotheses // 8)
