@@ -352,15 +352,35 @@ def gauss_jordan_solve(A: jnp.ndarray, B: jnp.ndarray):
     return _gauss_jordan_vjp(A, B)
 
 
-def svd3x3(M: jnp.ndarray):
-    """Batched SVD of (..., 3, 3) matrices. Thin wrapper for now; a closed-form
-    Pallas kernel is the planned fast path."""
-    return jnp.linalg.svd(M)
+def svd3x3(M: jnp.ndarray, eps: float = 1e-12):
+    """TPU-safe SVD of (..., 3, 3) via symmetric eigendecomposition.
+
+    XLA's small-matrix SVD custom call crashes the TPU compiler in several
+    compositions (TransposeFolding ``buffer != nullptr`` check failures).
+    Construction: V from ``eigh(MᵀM)`` (descending), ``s = √λ``,
+    ``u_i = M v_i / s_i`` re-orthogonalized, ``u₃ = u₁ × u₂`` — exactly the
+    structure the essential/rank-2 consumers need (any valid SVD gives the
+    same pose/projection sets).
+
+    Returns (U, s, Vt) with ``M ≈ U diag(s) Vt``.
+    """
+    MtM = jnp.einsum("...ki,...kj->...ij", M, M)
+    w, V = safe_eigh(MtM)  # ascending
+    V = V[..., ::-1]
+    s = jnp.sqrt(jnp.clip(w[..., ::-1], 0.0, None))
+    u1 = jnp.einsum("...ij,...j->...i", M, V[..., 0]) / (s[..., 0:1] + eps)
+    u1 = u1 / (jnp.linalg.norm(u1, axis=-1, keepdims=True) + eps)
+    u2 = jnp.einsum("...ij,...j->...i", M, V[..., 1]) / (s[..., 1:2] + eps)
+    u2 = u2 - jnp.sum(u1 * u2, axis=-1, keepdims=True) * u1
+    u2 = u2 / (jnp.linalg.norm(u2, axis=-1, keepdims=True) + eps)
+    u3 = jnp.cross(u1, u2)
+    U = jnp.stack([u1, u2, u3], axis=-1)
+    return U, s, jnp.swapaxes(V, -1, -2)
 
 
 def project_to_essential(E: jnp.ndarray) -> jnp.ndarray:
     """Project (..., 3, 3) onto the essential manifold: singular values (1,1,0)."""
-    u, s, vt = jnp.linalg.svd(E)
+    u, s, vt = svd3x3(E)
     d = jnp.zeros_like(s).at[..., 0].set(1.0).at[..., 1].set(1.0)
     return jnp.einsum("...ik,...k,...kj->...ij", u, d, vt)
 

@@ -25,8 +25,11 @@ def decompose_essential_svd(E: jnp.ndarray):
 
     Follows the reference layout (``cv_utils.py:83-116``): R1 = U W Vᵀ,
     R2 = U Wᵀ Vᵀ with det-corrected U, Vᵀ, and t = last column of the raw U.
+    Uses the eigh-based TPU-safe SVD (see :func:`ops.linalg.svd3x3`).
     """
-    u, s, vt = jnp.linalg.svd(E)
+    from differentiable_ransac_tpu.ops.linalg import svd3x3
+
+    u, s, vt = svd3x3(E)
     du = jnp.sign(jnp.linalg.det(u))[..., None, None]
     dv = jnp.sign(jnp.linalg.det(vt))[..., None, None]
     u_ = u * du
