@@ -11,8 +11,6 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import Optional
-
 import jax.numpy as jnp
 
 

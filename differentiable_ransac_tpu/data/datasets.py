@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import math
 import os
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Sequence
 
 import numpy as np
 

@@ -24,7 +24,6 @@ Model conventions: E/F satisfy ``x2ᵀ M x1 = 0``; rigid models are (4, 4).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax

@@ -9,17 +9,16 @@ F-mode reports F1 / %inliers / mean & median epipolar error at 0.75px
 
 from __future__ import annotations
 
-import time
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from differentiable_ransac_tpu.config import ModelKind, RansacConfig
+from differentiable_ransac_tpu.config import RansacConfig
 from differentiable_ransac_tpu.engine import normalized_threshold, ransac_test
 from differentiable_ransac_tpu.models.clnet import CLNet, select_prob_type
-from differentiable_ransac_tpu.ops import epipolar, metrics, pose
+from differentiable_ransac_tpu.ops import metrics, pose
 from differentiable_ransac_tpu.train import _prepare_pair_points
 
 

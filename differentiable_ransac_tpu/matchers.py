@@ -17,7 +17,7 @@ path). The LoFTR package itself is not vendored; pass your own.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Tuple
+from typing import Callable
 
 import numpy as np
 import jax
@@ -25,7 +25,6 @@ import jax.numpy as jnp
 
 from differentiable_ransac_tpu.config import RansacConfig
 from differentiable_ransac_tpu.engine import ransac_test, ransac_train
-from differentiable_ransac_tpu.ops import epipolar
 
 
 @dataclasses.dataclass

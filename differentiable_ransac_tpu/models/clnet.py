@@ -15,8 +15,6 @@ dimension); the kNN graph is one ``(B, N, N)`` Gram matmul + ``top_k``.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

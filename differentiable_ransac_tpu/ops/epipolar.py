@@ -12,7 +12,6 @@ and fused by XLA. Conventions follow the reference implementation:
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 _EPS = 1e-15

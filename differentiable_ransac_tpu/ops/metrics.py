@@ -8,7 +8,6 @@ kept numerically identical so published numbers are comparable.
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 _EPS = 1e-11
 

@@ -8,7 +8,7 @@ NMS, and depth-image back-projection.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -13,7 +13,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from differentiable_ransac_tpu.ops.epipolar import cross_matrix, to_homogeneous
+from differentiable_ransac_tpu.ops.epipolar import cross_matrix
 
 # Kept as host numpy: a module-level jnp.array would trigger device-backend
 # initialization at import time (breaks lazy PJRT plugin registration).

@@ -19,8 +19,6 @@ directly-attached TPUs the kernel compiles through the standard Mosaic path.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -18,7 +18,6 @@ multi-host meshes come from ``jax.distributed.initialize`` + the same code.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import numpy as np
@@ -174,7 +173,6 @@ def sharded_match_loss_hypotheses(
         scalar loss.
     """
     from differentiable_ransac_tpu.engine import ransac_train
-    from differentiable_ransac_tpu.losses import match_loss
 
     n_hyp = mesh.shape["hyp"]
     n_pairs = mesh.shape["pairs"]

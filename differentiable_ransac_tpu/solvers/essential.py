@@ -32,7 +32,6 @@ correspondences ``(x1, y1, x2, y2)`` in calibrated (K-normalized) coords.
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from differentiable_ransac_tpu.ops.linalg import (
@@ -243,7 +242,9 @@ def essential_5pt_nister(
     from differentiable_ransac_tpu.ops.epipolar import sampson_squared
 
     own = sampson_squared(E, matches)  # (10, 5)
-    valid = valid & (jnp.max(own, axis=-1) < 1e-8)
+    # dtype-aware tolerance: f64 cores interpolate to ~1e-12, f32 to ~1e-6
+    own_tol = 1e-8 if dtype == jnp.float64 else 1e-3
+    valid = valid & (jnp.max(own, axis=-1) < own_tol)
     E = jnp.where(valid[:, None, None], E, jnp.eye(3, dtype=dtype))
     return E.astype(out_dtype), valid
 

@@ -20,7 +20,6 @@ Model convention: returned F satisfies ``x2ᵀ F x1 = 0``.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from differentiable_ransac_tpu.ops import epipolar

@@ -11,7 +11,6 @@ Single-sample functions with static shapes, meant for ``jax.vmap``.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 SAMPLE_SIZE = 3

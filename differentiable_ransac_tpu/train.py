@@ -12,8 +12,7 @@ backward instead of the reference's skip-batch-on-NaN guards
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import numpy as np
 import jax
@@ -21,12 +20,7 @@ import jax.numpy as jnp
 import optax
 import flax
 
-from differentiable_ransac_tpu.config import (
-    ModelKind,
-    ProbType,
-    RansacConfig,
-    TrainConfig,
-)
+from differentiable_ransac_tpu.config import RansacConfig, TrainConfig
 from differentiable_ransac_tpu.engine import ransac_train, ransac_train_rigid
 from differentiable_ransac_tpu.losses import (
     classification_loss,

@@ -39,7 +39,7 @@ from differentiable_ransac_tpu.train import create_optimizer, create_train_state
 N_POINTS = 256
 
 
-def make_pair(seed, outlier_ratio=0.5):
+def make_pair(seed, outlier_ratio=0.65):
     """Synthetic pair whose 'snn ratio' channel predicts outlierness."""
     p = two_view_problem(n_points=N_POINTS, noise=0.5, outlier_ratio=outlier_ratio,
                          seed=seed)
@@ -85,6 +85,7 @@ def evaluate(model, state, seeds, eval_cfg, tag):
 
     eval_fn = jax.jit(_eval)
     errs = []
+    w_in, w_out = [], []
     for group_start in range(0, len(seeds), 8):
         group = seeds[group_start:group_start + 8]
         probs, batch = batch_of(group)
@@ -92,6 +93,9 @@ def evaluate(model, state, seeds, eval_cfg, tag):
         keys = jax.random.split(jax.random.PRNGKey(999), len(group))
         thr = jnp.full((len(group),), 2.0 / 1000.0, jnp.float32)
         models = eval_fn(state.params, state.batch_stats, feats, keys, thr)
+        out = model.apply({"params": state.params, "batch_stats": state.batch_stats},
+                          feats, train=False)
+        weights = np.asarray(out["weights"])
         for b, p in enumerate(probs):
             m = p["matches"][p["inlier_mask"]]
             err_q, err_t = pose.evaluate_pose(
@@ -99,9 +103,12 @@ def evaluate(model, state, seeds, eval_cfg, tag):
                 jnp.asarray(p["R"]), jnp.asarray(p["t"]),
             )
             errs.append(max(float(err_q), float(err_t)))
+            w_in.append(weights[b][p["inlier_mask"]].mean())
+            w_out.append(weights[b][~p["inlier_mask"]].mean())
     aucs = metrics.auc(errs)
     print(f"[{tag}] AUC@5/10/20 = {aucs[0]:.3f}/{aucs[1]:.3f}/{aucs[2]:.3f}  "
-          f"median err = {np.median(errs):.2f}deg")
+          f"median err = {np.median(errs):.2f}deg  "
+          f"weight inlier/outlier = {np.mean(w_in):.3f}/{np.mean(w_out):.3f}")
     return aucs
 
 
@@ -111,11 +118,11 @@ def main():
     ap.add_argument("--pairs-per-batch", type=int, default=4)
     args = ap.parse_args()
 
-    tcfg = TrainConfig(w2=1.0, learning_rate=3e-4, prob_type=ProbType.LOGITS)
+    tcfg = TrainConfig(w2=1.0, w1=0.1, learning_rate=1e-4, prob_type=ProbType.LOGITS)
     train_rcfg = RansacConfig(model=ModelKind.ESSENTIAL, sampler=SamplerKind.GUMBEL,
                               max_iterations=64, train=True, solver_precision=1)
     eval_rcfg = RansacConfig(model=ModelKind.ESSENTIAL, sampler=SamplerKind.GUMBEL,
-                             max_iterations=192, ransac_batch_size=64, threshold=2.0)
+                             max_iterations=96, ransac_batch_size=32, threshold=2.0)
 
     tx = create_optimizer(tcfg)
     model, state = create_train_state(jax.random.PRNGKey(0), tcfg, N_POINTS, tx)
