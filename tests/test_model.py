@@ -15,7 +15,7 @@ def _points(B=2, N=64, seed=0):
 def test_knn_indices_exact():
     rng = np.random.default_rng(1)
     x = rng.normal(size=(1, 32, 8)).astype(np.float32)
-    idx = np.asarray(knn_indices(jnp.asarray(x), 5))
+    idx = np.asarray(knn_indices(jnp.asarray(x), 5, exact=True))
     d = ((x[0][:, None, :] - x[0][None, :, :]) ** 2).sum(-1)
     want = np.argsort(d, axis=-1)[:, :5]
     # self is always the nearest neighbor
@@ -23,6 +23,41 @@ def test_knn_indices_exact():
     # the neighbor SET matches numpy's
     for i in range(32):
         assert set(idx[0, i].tolist()) == set(want[i].tolist())
+
+
+def test_knn_indices_approx_recall():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, 128, 16)).astype(np.float32)
+    idx_a = np.asarray(knn_indices(jnp.asarray(x), 9))
+    idx_e = np.asarray(knn_indices(jnp.asarray(x), 9, exact=True))
+    recall = np.mean([
+        len(set(idx_a[b, i]) & set(idx_e[b, i])) / 9.0
+        for b in range(2) for i in range(128)
+    ])
+    assert recall > 0.9, recall
+
+
+def test_gcn_factorization_matches_dense():
+    """The rank-1+I factored aggregation equals the reference's dense
+    normalized-Laplacian formula."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.normal(size=(2, 40)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(2, 40, 8)).astype(np.float32))
+
+    a = jax.nn.relu(jnp.tanh(w))
+    A = a[:, :, None] * a[:, None, :] + jnp.eye(40)[None]
+    d = 1.0 / jnp.sqrt(jnp.sum(A, axis=-1))
+    L = A * d[:, :, None] * d[:, None, :]
+    want = jnp.einsum("bnm,bmc->bnc", L, x)
+
+    deg = a * jnp.sum(a, axis=-1, keepdims=True) + 1.0
+    dd = 1.0 / jnp.sqrt(deg)
+    dx = x * dd[..., None]
+    proj = jnp.einsum("bn,bnc->bc", a, dx)
+    got = dd[..., None] * (a[..., None] * proj[:, None, :]) + dd[..., None] * dx
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
 
 
 def test_clnet_forward_shapes():
