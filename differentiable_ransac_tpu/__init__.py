@@ -33,13 +33,19 @@ if not _os.environ.get("DRT_NO_COMPILATION_CACHE"):
     except Exception:  # pragma: no cover — cache is best-effort
         pass
 
-from differentiable_ransac_tpu.config import RansacConfig, ModelKind, SamplerKind
+from differentiable_ransac_tpu.config import (
+    ModelKind,
+    RansacConfig,
+    SamplerKind,
+    ScoringKind,
+)
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "RansacConfig",
     "ModelKind",
     "SamplerKind",
+    "ScoringKind",
     "__version__",
 ]

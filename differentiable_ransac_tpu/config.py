@@ -36,6 +36,21 @@ class SamplerKind(enum.IntEnum):
     GUMBEL_8PT = 3
 
 
+class ScoringKind(enum.IntEnum):
+    """Model-quality function used to rank hypotheses during the search.
+
+    MSAC: soft truncated-quadratic support (reference
+    ``scorings/msac_score.py:33-48``). MAGSAC: σ-marginalized quality — the
+    model-selection criterion of the reference's SOTA inference path, where
+    the whole search is handed to C++ MAGSAC++ (``test_magsac.py:61-69``);
+    here it is an elementwise function of the same Sampson d² evaluated on
+    TPU (see :func:`differentiable_ransac_tpu.scoring.magsac_score`).
+    """
+
+    MSAC = 0
+    MAGSAC = 1
+
+
 class ProbType(enum.IntEnum):
     """How the predicted weights are presented to the sampler.
 
@@ -74,6 +89,15 @@ class RansacConfig:
     lo_iters: int = 64
     # Weighted non-minimal solves (reference ``-wei``).
     weighted: bool = False
+    # Hypothesis-quality function (MSAC default; MAGSAC = σ-consensus
+    # model selection during the search, the reference's SOTA path).
+    scoring: ScoringKind = ScoringKind.MSAC
+    # σ-marginalization levels for MAGSAC scoring (matches the native
+    # polish, ``csrc/sigma_consensus.cpp`` kSigmaLevels).
+    sigma_levels: int = 10
+    # Maximum noise scale σ_max for MAGSAC scoring, as a multiplier on the
+    # (focal-normalized) threshold; 0.0 -> 1.0 (σ_max = threshold).
+    sigma_max: float = 0.0
     train: bool = False
     eps: float = 1e-5
     precision: int = 1  # 0 fp16, 1 fp32, 2 fp64 (reference ``utils.py:42-43``)

@@ -213,12 +213,13 @@ class ThreeDRecords:
 
 
 def write_synthetic_two_view_record(path: str, n_points: int = 500, seed: int = 0,
-                                    im_size=(1024, 1024), focal: float = 1000.0):
+                                    im_size=(1024, 1024), focal: float = 1000.0,
+                                    noise: float = 0.5, outlier_ratio: float = 0.3):
     """Emit a synthetic record in the reference's exact 15-field ``.npy``
     layout — used by tests and demos in place of PhotoTourism data."""
     from differentiable_ransac_tpu.data.synthetic import two_view_problem
 
-    p = two_view_problem(n_points=n_points, noise=0.5, outlier_ratio=0.3,
+    p = two_view_problem(n_points=n_points, noise=noise, outlier_ratio=outlier_ratio,
                          seed=seed, focal=focal, im_size=im_size)
     rng = np.random.default_rng(seed)
     n = n_points

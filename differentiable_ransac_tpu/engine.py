@@ -29,13 +29,23 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from differentiable_ransac_tpu.config import ModelKind, RansacConfig, SamplerKind
+from differentiable_ransac_tpu.config import (
+    ModelKind,
+    RansacConfig,
+    SamplerKind,
+    ScoringKind,
+)
 from differentiable_ransac_tpu.samplers import (
     gather_minimal_samples,
     gumbel_topk_sample,
     uniform_sample,
 )
-from differentiable_ransac_tpu.scoring import msac_score, rigid_msac_score
+from differentiable_ransac_tpu.scoring import (
+    magsac_score,
+    msac_score,
+    rigid_magsac_score,
+    rigid_msac_score,
+)
 from differentiable_ransac_tpu.solvers import (
     essential_5pt_nister,
     essential_nonminimal,
@@ -91,6 +101,16 @@ def _nonminimal_solver(cfg: RansacConfig):
 
 
 def _score(cfg: RansacConfig, points, models, threshold, point_mask=None):
+    """Score models per ``cfg.scoring``: MSAC support or σ-consensus
+    (MAGSAC) quality. ``threshold`` is the focal-normalized inlier
+    threshold; in MAGSAC mode σ_max = threshold · cfg.sigma_max."""
+    if cfg.scoring == ScoringKind.MAGSAC:
+        sigma_max = threshold * (cfg.sigma_max if cfg.sigma_max > 0 else 1.0)
+        if cfg.model == ModelKind.RIGID:
+            return rigid_magsac_score(points, models, sigma_max, point_mask,
+                                      cfg.sigma_levels)
+        return magsac_score(points, models, sigma_max, point_mask,
+                            cfg.sigma_levels)
     if cfg.model == ModelKind.RIGID:
         return rigid_msac_score(points, models, threshold, point_mask)
     return msac_score(points, models, threshold, point_mask)
@@ -356,7 +376,8 @@ def ransac_fixed(
             "scores": scores,
             "models": flat,
         }
-    if cfg.use_pallas_scoring and cfg.model != ModelKind.RIGID:
+    if (cfg.use_pallas_scoring and cfg.model != ModelKind.RIGID
+            and cfg.scoring == ScoringKind.MSAC):
         from differentiable_ransac_tpu.pallas_kernels import msac_scores_pallas
 
         scores = msac_scores_pallas(points, flat, threshold, point_mask)
@@ -476,6 +497,170 @@ def _local_optimization(cfg: RansacConfig, points, threshold, point_mask, state)
     return state
 
 
+class _FastState(NamedTuple):
+    topk_scores: jnp.ndarray    # (K,) prescreen scores of the kept samples
+    topk_samples: jnp.ndarray   # (K, m, D)
+    topk_weights: jnp.ndarray   # (K, m) sample weights (zeros if unweighted)
+    best_inliers: jnp.ndarray   # () inlier count of the best model so far
+    iterations: jnp.ndarray     # () int32
+    max_iters: jnp.ndarray      # () float adaptive bound
+    key: jax.Array
+
+
+def _draw_samples(cfg: RansacConfig, points, logits, key, num_hypotheses):
+    """Draw minimal samples only (no solve): (H, m, D) + optional (H, m)."""
+    m = cfg.sample_size
+    n = points.shape[0]
+    if cfg.sampler == SamplerKind.UNIFORM:
+        idx = uniform_sample(key, n, num_hypotheses, m)
+        return points[idx], None
+    idx, st_mask, soft = gumbel_topk_sample(
+        key, logits.astype(points.dtype), num_hypotheses, m
+    )
+    samples = gather_minimal_samples(points, idx, st_mask)
+    weights = jnp.take_along_axis(soft, idx, axis=1) if cfg.weighted else None
+    return samples, weights
+
+
+def ransac_test_fast(
+    cfg: RansacConfig,
+    points: jnp.ndarray,
+    logits: jnp.ndarray,
+    key: jax.Array,
+    threshold=None,
+    point_mask: Optional[jnp.ndarray] = None,
+    chunk: int = 512,
+    rescue_k: int = 64,
+):
+    """Adaptive best-model search at fixed-budget-engine speed.
+
+    Same semantics class as :func:`ransac_test` (the reference test branch,
+    ``ransac.py:109-200``: evaluate hypothesis chunks until the adaptive
+    bound ``ransac.py:202-215`` is met, then refit on inliers) but built
+    from the mixed-precision machinery of :func:`ransac_fixed_rescued`:
+
+    * each chunk solves its minimal samples with the **f32** cores
+      (4–8× faster than f64 on TPU) and ranks them on a strided point
+      subset (prescreen);
+    * the top ``rescue_k`` samples seen so far are carried across chunks
+      (a running top-k merge — fixed shapes, no growing buffers);
+    * the adaptive bound is driven by the inlier count of the best f32
+      model, fully scored once per chunk (1 model × N — negligible);
+    * after the loop, ONLY the carried top-k samples are re-solved at f64,
+      fully scored, and the winner is LO'd/refit.
+
+    Final model quality matches the all-f64 adaptive loop (ranking by
+    support is robust to the f32 tail error; the returned model is f64)
+    at a fraction of the cost. Chunks are ``chunk`` lanes wide instead of
+    the reference's 64, so the bound is checked more coarsely — it only
+    over-evaluates, never under-evaluates, relative to the reference.
+
+    Returns:
+        (best_model, best_mask (N,), best_score (), iterations ()).
+    """
+    if threshold is None:
+        threshold = cfg.threshold
+    threshold = jnp.asarray(threshold).astype(points.dtype)
+    n = points.shape[0]
+    m = cfg.sample_size
+    d = points.shape[-1]
+    model_dim = 3 if cfg.model != ModelKind.RIGID else 4
+
+    fast_cfg = cfg.replace(solver_precision=1)
+    solver32 = _minimal_solver(fast_cfg)
+    solver64 = _minimal_solver(cfg.replace(solver_precision=2))
+
+    # prescreen subset (shared across chunks so scores are comparable)
+    pre = min(cfg.prescreen or 256, n)
+    stride = max(1, n // pre)
+    sub = points[::stride][:pre]
+    sub_mask = None if point_mask is None else point_mask[::stride][:pre]
+
+    k_eff = min(rescue_k, chunk)
+    init = _FastState(
+        topk_scores=jnp.full((k_eff,), -jnp.inf, points.dtype),
+        topk_samples=jnp.zeros((k_eff, m, d), points.dtype),
+        topk_weights=jnp.zeros((k_eff, m), points.dtype),
+        best_inliers=jnp.asarray(0.0, points.dtype),
+        iterations=jnp.asarray(0, jnp.int32),
+        max_iters=jnp.asarray(cfg.max_iterations, points.dtype),
+        key=key,
+    )
+
+    def cond(st: _FastState):
+        return st.iterations < jnp.minimum(
+            float(cfg.max_iterations), st.max_iters
+        ).astype(jnp.int32)
+
+    def body(st: _FastState):
+        k, sub_key = jax.random.split(st.key)
+        samples, weights = _draw_samples(cfg, points, logits, sub_key, chunk)
+        if weights is not None:
+            models32, valid32 = jax.vmap(solver32)(samples, weights)
+        else:
+            models32, valid32 = jax.vmap(solver32)(samples)
+        S = models32.shape[1]
+        flat32 = models32.reshape((-1, model_dim, model_dim))
+        fv32 = valid32.reshape(-1)
+        sub_scores, _ = _score(cfg, sub, flat32, threshold, sub_mask)
+        sub_scores = jnp.where(fv32, sub_scores, -jnp.inf)
+        per_sample = jnp.max(sub_scores.reshape(chunk, S), axis=-1)
+
+        # running top-k merge with the carried candidates
+        merged_scores = jnp.concatenate([st.topk_scores, per_sample])
+        top_vals, top_idx = jax.lax.top_k(merged_scores, k_eff)
+        merged_samples = jnp.concatenate([st.topk_samples, samples])
+        w = weights if weights is not None else jnp.zeros((chunk, m), points.dtype)
+        merged_weights = jnp.concatenate([st.topk_weights, w])
+
+        # adaptive bound from the chunk-best model's full inlier count
+        chunk_best = flat32[jnp.argmax(sub_scores)]
+        _, mask1 = _score(cfg, points, chunk_best[None], threshold, point_mask)
+        inl = jnp.sum(mask1[0]).astype(st.best_inliers.dtype)
+        best_inliers = jnp.maximum(st.best_inliers, inl)
+        bound = _adaptive_iterations(cfg, best_inliers, float(n)).astype(
+            st.max_iters.dtype
+        )
+        return _FastState(
+            topk_scores=top_vals,
+            topk_samples=merged_samples[top_idx],
+            topk_weights=merged_weights[top_idx],
+            best_inliers=best_inliers,
+            iterations=st.iterations + chunk,
+            max_iters=jnp.minimum(st.max_iters, bound),
+            key=k,
+        )
+
+    st = jax.lax.while_loop(cond, body, init)
+
+    # f64 re-solve of the carried winners, full scoring, argmax
+    if cfg.weighted and cfg.sampler != SamplerKind.UNIFORM:
+        models64, valid64 = jax.vmap(solver64)(st.topk_samples, st.topk_weights)
+    else:
+        models64, valid64 = jax.vmap(solver64)(st.topk_samples)
+    flat64 = models64.reshape((-1, model_dim, model_dim))
+    fv64 = valid64.reshape(-1)
+    # samples never merged in (score -inf) hold zero matrices: mask them
+    fv64 = fv64 & (jnp.repeat(st.topk_scores, models64.shape[1]) > -jnp.inf)
+    scores64, masks64 = _score(cfg, points, flat64, threshold, point_mask)
+    scores64 = jnp.where(fv64, scores64, -jnp.inf)
+    best = jnp.argmax(scores64)
+
+    final = _BestState(
+        score=scores64[best],
+        model=flat64[best],
+        mask=masks64[best],
+        inliers=jnp.sum(masks64[best]).astype(points.dtype),
+        iterations=st.iterations,
+        max_iters=st.max_iters,
+        key=st.key,
+    )
+    if cfg.lo:
+        final = _local_optimization(cfg, points, threshold, point_mask, final)
+    final = _refit_and_update(cfg, points, threshold, point_mask, final)
+    return final.model, final.mask, final.score, final.iterations
+
+
 def ransac_test(
     cfg: RansacConfig,
     points: jnp.ndarray,
@@ -504,7 +689,6 @@ def ransac_test(
     # promote the while-loop carry (x64 is enabled process-wide).
     threshold = jnp.asarray(threshold).astype(points.dtype)
     n = points.shape[0]
-    dim = 4 if cfg.model != ModelKind.RIGID else 4
     model_dim = 3 if cfg.model != ModelKind.RIGID else 4
     chunk = cfg.ransac_batch_size
 

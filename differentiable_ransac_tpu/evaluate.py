@@ -16,15 +16,37 @@ import jax
 import jax.numpy as jnp
 
 from differentiable_ransac_tpu.config import RansacConfig
-from differentiable_ransac_tpu.engine import normalized_threshold, ransac_test
+from differentiable_ransac_tpu.engine import (
+    normalized_threshold,
+    ransac_test,
+    ransac_test_fast,
+)
 from differentiable_ransac_tpu.models.clnet import CLNet, select_prob_type
 from differentiable_ransac_tpu.ops import metrics, pose
 from differentiable_ransac_tpu.train import _prepare_pair_points
 
 
-def make_eval_step(model: CLNet, ransac_cfg: RansacConfig, prob_type: int = 2):
-    """Jitted per-batch inference: weights → best models + masks + scores."""
+def make_eval_step(model: CLNet, ransac_cfg: RansacConfig, prob_type: int = 2,
+                   fast: bool = True, prosac: bool = False):
+    """Jitted per-batch inference: weights → best models + masks + scores.
+
+    ``fast=True`` (default) runs the mixed-precision adaptive search
+    (:func:`ransac_test_fast` — f32 ranking + f64 rescue of the top
+    samples, the throughput path the benchmarks measure); ``fast=False``
+    runs the all-f64 chunked loop (:func:`ransac_test`, the literal
+    reference-semantics search).
+
+    ``prosac=True`` replaces each correspondence's sampling logit with the
+    log rank-probability of its predicted-quality RANK — the PROSAC-style
+    ordering of the reference's SOTA path (it sorts by predicted weight
+    before handing off to MAGSAC++, ``test_magsac.py:45``,
+    ``feature_utils.py:52-58``): sampling importance depends on the order
+    statistics, not the raw magnitudes.
+    """
+    from differentiable_ransac_tpu.samplers import prosac_logits_from_weights
+
     fmat = ransac_cfg.fmat
+    search = ransac_test_fast if fast else ransac_test
 
     @jax.jit
     def eval_step(params, batch_stats, batch, key):
@@ -34,6 +56,8 @@ def make_eval_step(model: CLNet, ransac_cfg: RansacConfig, prob_type: int = 2):
             train=False,
         )
         weights = select_prob_type(out, prob_type)
+        if prosac:
+            weights = prosac_logits_from_weights(weights)
         pts = _prepare_pair_points(batch, fmat)
         B = pts.shape[0]
         keys = jax.random.split(key, B)
@@ -46,7 +70,7 @@ def make_eval_step(model: CLNet, ransac_cfg: RansacConfig, prob_type: int = 2):
         pmask = batch.get("point_mask")
 
         def per_pair(p, w, k, thr, pm):
-            return ransac_test(ransac_cfg, p, w, k, threshold=thr, point_mask=pm)
+            return search(ransac_cfg, p, w, k, threshold=thr, point_mask=pm)
 
         if pmask is None:
             pmask = jnp.ones(pts.shape[:2], pts.dtype)

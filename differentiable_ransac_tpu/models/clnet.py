@@ -45,7 +45,7 @@ def knn_indices(x: jnp.ndarray, k: int, exact: bool = False) -> jnp.ndarray:
     return idx
 
 
-def graph_features(x: jnp.ndarray, k: int) -> jnp.ndarray:
+def graph_features(x: jnp.ndarray, k: int, exact: bool = False) -> jnp.ndarray:
     """DGCNN edge features ``[x, x − x_nn]`` (reference ``model_cl.py:39-62``).
 
     Args:
@@ -54,7 +54,7 @@ def graph_features(x: jnp.ndarray, k: int) -> jnp.ndarray:
     Returns:
         (B, N, k, 2C).
     """
-    idx = knn_indices(x, k)  # (B, N, k)
+    idx = knn_indices(x, k, exact=exact)  # (B, N, k)
     neighbors = jnp.take_along_axis(x[:, None, :, :], idx[..., None], axis=2)
     center = jnp.broadcast_to(x[:, :, None, :], neighbors.shape)
     return jnp.concatenate([center, center - neighbors], axis=-1)
@@ -98,11 +98,12 @@ class DGCNNBlock(nn.Module):
 
     channels: int
     knn_num: int = 9
+    exact_knn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert self.knn_num in (9, 6)
-        feats = graph_features(x, self.knn_num)  # (B, N, k, 2C)
+        feats = graph_features(x, self.knn_num, self.exact_knn)  # (B, N, k, 2C)
         out = nn.Conv(self.channels, kernel_size=(1, 3), strides=(1, 3), padding="VALID")(feats)
         out = nn.BatchNorm(use_running_average=not train)(out)
         out = nn.relu(out)
@@ -118,20 +119,33 @@ class GCNBlock(nn.Module):
 
     The normalized-Laplacian aggregation is computed under ``stop_gradient``
     exactly as the reference wraps it in ``torch.no_grad`` (``:139-147``).
+
+    ``aggregation="reference"`` (default) reproduces the reference's shipped
+    behavior bit-for-bit — which is NOT the CLNet paper's rank-1 attention:
+    ``attention()`` computes ``bmm(wᵀ, w)`` of a (B, N, 1) tensor
+    (``model_cl.py:131-134``), i.e. a (B, 1, 1) GLOBAL SCALAR ``s = Σ aₖ²``
+    broadcast over the adjacency, so the aggregation reduces to the uniform
+    mix ``out_i = (s·Σ_j x_j + x_i) / (N·s + 1)`` — O(NC), no matmul.
+    Pretrained reference checkpoints were trained under these semantics, so
+    weight import requires them.
+
+    ``aggregation="rank1"`` computes the paper-intended ``A = a aᵀ + I``
+    normalized-Laplacian aggregation, factored exactly as
+    ``L x = d ⊙ (a (aᵀ (d ⊙ x))) + d² ⊙ x`` with ``d = 1/√(a·Σa + 1)``
+    (no O(N²C) matmul or O(N²) adjacency materialization).
     """
 
     channels: int
+    aggregation: str = "reference"
 
     @nn.compact
     def __call__(self, x, w, train: bool = False):
-        # The adjacency is rank-1 + identity: A = a aᵀ + I with
-        # a = relu(tanh(w)). The normalized-Laplacian aggregation therefore
-        # factors exactly — L x = d ⊙ (a (aᵀ (d ⊙ x))) + d² ⊙ x with
-        # d = 1/√(a·Σa + 1) — removing the reference's O(N²C) matmul and
-        # O(N²) adjacency materialization (``model_cl.py:137-149``) while
-        # computing the identical quantity.
         def aggregate(w, x):
             a = nn.relu(jnp.tanh(w))  # (B, N)
+            if self.aggregation == "reference":
+                n = x.shape[1]
+                s = jnp.sum(a * a, axis=-1, keepdims=True)[..., None]  # (B,1,1)
+                return (s * jnp.sum(x, axis=1, keepdims=True) + x) / (n * s + 1.0)
             deg = a * jnp.sum(a, axis=-1, keepdims=True) + 1.0
             d = jax.lax.rsqrt(deg)  # (B, N)
             dx = x * d[..., None]
@@ -148,12 +162,23 @@ class GCNBlock(nn.Module):
 class DSBlock(nn.Module):
     """The CLNet backbone (reference ``model_cl.py:367-436``).
 
-    Note: the reference's ``down_sampling`` pruning machinery is dead code at
-    ``sampling_rate=1.0`` (``model_cl.py:407-425,445``) and is not replicated.
+    ``sampling_rate < 1`` enables the CLNet pruning path (the reference's
+    ``down_sampling`` machinery, ``model_cl.py:407-425`` — dead at its
+    shipped ``sampling_rate=1.0`` but part of the architecture): after the
+    intermediate weights ``w0``, only the top ``⌈N·sr⌉`` correspondences by
+    ``w0`` are kept (hard top-k, indices under stop-gradient exactly as the
+    reference gathers under ``torch.no_grad``; the FEATURES keep their
+    gradient, matching ``feature_out = torch.gather(features, …)`` outside
+    the no_grad block). The GCN aggregation and the final embed/linear run
+    on the pruned set, and the logits are scattered back to the full N with
+    a large negative fill — fixed shapes end-to-end, so the pruned variant
+    jits exactly like the dense one.
     """
 
     channels: int = 128
     knn_num: int = 9
+    exact_knn: bool = False
+    sampling_rate: float = 1.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -164,11 +189,29 @@ class DSBlock(nn.Module):
 
         for _ in range(4):
             out = ResNetBlock(self.channels)(out, train)
-        out = DGCNNBlock(self.channels, self.knn_num)(out, train)
+        out = DGCNNBlock(self.channels, self.knn_num, self.exact_knn)(out, train)
         for _ in range(4):
             out = ResNetBlock(self.channels)(out, train)
 
         w0 = nn.Dense(1)(out)[..., 0]  # (B, N)
+
+        if self.sampling_rate < 1.0:
+            n = out.shape[1]
+            k = max(int(n * self.sampling_rate), 1)
+            _, idx = jax.lax.top_k(jax.lax.stop_gradient(w0), k)  # (B, k)
+            out_k = jnp.take_along_axis(out, idx[..., None], axis=1)
+            w0_k = jnp.take_along_axis(w0, idx, axis=1)
+            out_g = GCNBlock(self.channels)(
+                out_k, jax.lax.stop_gradient(w0_k), train)
+            out_k = out_g + out_k
+            out_k = ResNetBlock(self.channels)(out_k, train)
+            w1_k = nn.Dense(1)(out_k)[..., 0]  # (B, k)
+            # scatter back to full length; pruned points get a logit low
+            # enough that sigmoid ≈ 0 and the Gumbel sampler never draws them
+            b_idx = jnp.arange(w0.shape[0])[:, None]
+            w1 = jnp.full_like(w0, -30.0).at[b_idx, idx].set(w1_k)
+            return w1, w0
+
         out_g = GCNBlock(self.channels)(out, jax.lax.stop_gradient(w0), train)
         out = out_g + out
         out = ResNetBlock(self.channels)(out, train)
@@ -183,6 +226,10 @@ class CLNet(nn.Module):
 
     channels: int = 128
     knn_num: int = 9
+    exact_knn: bool = False
+    # < 1.0 enables CLNet iterative pruning (keep top N·sr by w0; reference
+    # ``model_cl.py:407-425``); shipped reference default is 1.0 (off).
+    sampling_rate: float = 1.0
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, train: bool = False):
@@ -192,7 +239,8 @@ class CLNet(nn.Module):
         (sigmoid), ``normalized_weights`` — the three prob_type flavors
         (reference ``model_cl.py:461-484``).
         """
-        w1, w0 = DSBlock(self.channels, self.knn_num)(points, train)
+        w1, w0 = DSBlock(self.channels, self.knn_num, self.exact_knn,
+                         self.sampling_rate)(points, train)
         log_probs = jax.nn.log_sigmoid(w1)
         weights = jnp.exp(log_probs)
         normalized = weights / jnp.sum(weights, axis=-1, keepdims=True)

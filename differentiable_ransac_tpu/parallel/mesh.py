@@ -46,8 +46,15 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
                 num_processes=num_processes,
                 process_id=process_id,
             )
-        except RuntimeError:
-            pass  # already initialized
+        except RuntimeError as e:
+            # Typically "already initialized" — benign, but log it so a real
+            # init failure (bad coordinator, port clash) is visible.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "jax.distributed.initialize: %s (continuing with %d devices)",
+                e, jax.device_count(),
+            )
     return jax.device_count()
 
 

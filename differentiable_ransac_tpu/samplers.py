@@ -78,6 +78,26 @@ def prosac_rank_probabilities(num_points: int) -> jnp.ndarray:
     return 1.0 - i / num_points
 
 
+def prosac_logits_from_weights(weights: jnp.ndarray) -> jnp.ndarray:
+    """PROSAC ordering as sampling logits: each correspondence gets the log
+    rank-probability of its RANK under descending predicted quality.
+
+    This reproduces the reference SOTA path's ordering semantics (it sorts
+    by predicted weight before the MAGSAC++ hand-off,
+    ``/root/reference/test_magsac.py:45``): sampling importance depends on
+    the order statistics of the predictions, not their magnitudes.
+
+    Args:
+        weights: (..., N) predicted per-correspondence quality.
+
+    Returns:
+        (..., N) logits for :func:`gumbel_topk_sample`.
+    """
+    ranks = jnp.argsort(jnp.argsort(-weights, axis=-1), axis=-1)
+    probs = prosac_rank_probabilities(weights.shape[-1]).astype(weights.dtype)
+    return jnp.log(jnp.clip(probs, 1e-9, None))[ranks]
+
+
 def uniform_sample(key: jax.Array, num_points: int, num_hypotheses: int, num_samples: int):
     """(H, k) uniform minimal-sample indices, without replacement per
     hypothesis (the reference's ``torch.randint`` sampler can repeat a point

@@ -245,6 +245,21 @@ def essential_5pt_nister(
     # dtype-aware tolerance: f64 cores interpolate to ~1e-12, f32 to ~1e-6
     own_tol = 1e-8 if dtype == jnp.float64 else 1e-3
     valid = valid & (jnp.max(own, axis=-1) < own_tol)
+    # Variety validity: the own-sample check alone is NOT sufficient — every
+    # vector of the 4-dim null space satisfies the epipolar constraint on
+    # the 5 sample points by construction, so complex-root real parts can
+    # interpolate perfectly while lying OFF the essential variety. A genuine
+    # solution must also satisfy the defining equations det(E) = 0 and
+    # 2EEᵀE − tr(EEᵀ)E = 0 (scale-invariant: E is unit-Frobenius here).
+    EEt = jnp.einsum("nij,nkj->nik", E, E)
+    trace_res = 2.0 * jnp.einsum("nij,njk->nik", EEt, E) - jnp.einsum(
+        "nii,njk->njk", EEt, E
+    )
+    det_res = jnp.abs(jnp.linalg.det(E))
+    variety_tol = 1e-6 if dtype == jnp.float64 else 2e-2
+    valid = valid & (det_res < variety_tol) & (
+        jnp.max(jnp.abs(trace_res), axis=(-2, -1)) < variety_tol
+    )
     E = jnp.where(valid[:, None, None], E, jnp.eye(3, dtype=dtype))
     return E.astype(out_dtype), valid
 
@@ -267,6 +282,11 @@ def essential_5pt_stewenius(
     sets are mathematically identical. (The reference's Stewenius class is
     unreachable from its default wiring and carries an unset ``self.device``
     bug, SURVEY.md §2.4.)
+
+    The completeness claim is validated in ``tests/test_stewenius.py``:
+    solution-set equality (both inclusions) against OpenCV's independent
+    native 5-point solver on random minimal samples, plus on-variety checks
+    (det(E)=0, trace constraint) for every emitted solution.
     """
     return essential_5pt_nister(matches, weights, solve_dtype)
 

@@ -11,6 +11,7 @@ from differentiable_ransac_tpu.config import (
     ProbType,
     RansacConfig,
     SamplerKind,
+    ScoringKind,
     TrainConfig,
 )
 
@@ -28,7 +29,12 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--ransac_batch_size", "-rbs", type=int, default=64)
     p.add_argument("--fmat", "-fmat", type=int, default=0,
                    help="1: fundamental matrix, 0: essential matrix")
-    p.add_argument("--scoring", "-s", type=int, default=1, help="0 RANSAC, 1 MSAC")
+    p.add_argument("--scoring", "-s", type=int, default=1,
+                   help="0 RANSAC, 1 MSAC, 2 MAGSAC (σ-consensus model "
+                        "selection during the search)")
+    p.add_argument("--prosac", "-prosac", type=int, default=0,
+                   help="1: PROSAC-style sampling — importance from the "
+                        "predicted-quality RANK (reference test_magsac.py:45)")
     p.add_argument("--sampler", "-sam", type=int, default=1,
                    help="0 uniform, 1/2 Gumbel-softmax minimal, 3 Gumbel 8PC")
     p.add_argument("--precision", "-pr", type=int, default=1,
@@ -77,6 +83,8 @@ def configs_from_args(args) -> tuple[TrainConfig, RansacConfig]:
         train=bool(args.tr),
         lo=args.lo,
         precision=args.precision,
+        scoring=(ScoringKind.MAGSAC if getattr(args, "scoring", 1) == 2
+                 else ScoringKind.MSAC),
     )
     tcfg = TrainConfig(
         batch_size=args.batch_size,

@@ -49,7 +49,11 @@ def main():
     )
     if args.model:
         state = load_checkpoint(args.model, state)
-    eval_fn = make_eval_step(model, rcfg, int(tcfg.prob_type))
+    # SOTA search semantics (reference test_magsac.py): σ-consensus model
+    # selection during the search (-s 2, wired via configs_from_args) +
+    # PROSAC-style ordering by predicted rank (-prosac 1).
+    eval_fn = make_eval_step(model, rcfg, int(tcfg.prob_type),
+                             prosac=bool(getattr(args, "prosac", 0)))
     logger = MetricsLogger(args.out_dir, session_string("magsac", tcfg, rcfg))
 
     for scene in scenes:

@@ -1,0 +1,252 @@
+#!/usr/bin/env python
+"""Head-to-head parity harness: the torch reference vs this framework on
+IDENTICAL synthetic scenes.
+
+Both pipelines consume the same reference-format 15-field ``.npy`` records
+(written by ``write_synthetic_two_view_record``) and the same pretrained
+CLNet weights — the reference loads its shipped checkpoint directly
+(``/root/reference/pretrained_models/``), this framework loads the SAME
+checkpoint through the tensor-for-tensor importer
+(``data/torch_import.py``, forward-parity ≤ 4e-5). What is compared is
+therefore the full eval pipeline semantics: data loading → weight
+prediction → adaptive RANSAC search → refit → metrics.
+
+Reference side mirrors ``/root/reference/test.py:8-106`` exactly (its own
+Dataset, DeepRansac_CLNet.forward in predict mode, its own
+eval_essential_matrix / f_error / AUC); our side runs
+``evaluate.make_eval_step`` + our metric stack.
+
+Usage:
+    python scripts/parity.py --scenes 16 --nf 500 --noise 1.0 \
+        --outliers 0.4 --out PARITY.md
+"""
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE = "/root/reference"
+
+
+def generate_records(folder: str, n_scenes: int, nf: int, noise: float,
+                     outliers: float, seed0: int):
+    from differentiable_ransac_tpu.data.datasets import (
+        write_synthetic_two_view_record,
+    )
+
+    os.makedirs(folder, exist_ok=True)
+    for i in range(n_scenes):
+        write_synthetic_two_view_record(
+            os.path.join(folder, f"pair_{i:04d}.npy"),
+            n_points=nf, seed=seed0 + i, noise=noise, outlier_ratio=outliers,
+        )
+
+
+def run_reference(folder: str, args):
+    """The reference's own test.py pipeline (torch CPU), imported in place."""
+    sys.path.insert(0, REFERENCE)
+    import torch
+    from datasets import Dataset as RefDataset
+    from model_cl import DeepRansac_CLNet
+    from cv_utils import eval_essential_matrix, f_error, AUC
+    from utils import create_parser
+
+    opt = create_parser("parity-reference").parse_args([])
+    opt.device = "cpu"
+    opt.fmat = args.fmat
+    # sampler id 2 = Gumbel-softmax mask-select branch (ransac.py:58-65) —
+    # the only in-framework sampler that works in the reference's test path
+    # (id 1 routes to `sampler.sample()` argless and crashes on float
+    # indices; id 0's UniformSampler.sample() has the batch_generate bug,
+    # SURVEY §2.2); id 3 = Gumbel 8PC for F.
+    opt.sampler = 3 if args.fmat else 2
+    opt.threshold = args.threshold
+    opt.precision = 1
+    opt.tr = 0
+    opt.nfeatures = args.nf
+
+    model = DeepRansac_CLNet(opt)
+    sd = torch.load(args.ckpt, map_location="cpu")
+    model.load_state_dict(sd)
+    model.eval()
+
+    ds = RefDataset([folder + "/"], opt.snn, opt.nfeatures, fmat=bool(opt.fmat))
+    loader = torch.utils.data.DataLoader(ds, batch_size=args.batch_size,
+                                         shuffle=False)
+
+    max_errors, f1s, epis = [], [], []
+    search_time = 0.0
+    with torch.no_grad():
+        for td in loader:
+            corr = td["correspondences"].float()
+            K1, K2 = td["K1"].float(), td["K2"].float()
+            s1, s2 = td["im_size1"].float(), td["im_size2"].float()
+            t0 = time.perf_counter()
+            models, weights, _ = model(corr, K1, K2, s1, s2)
+            search_time += time.perf_counter() - t0
+            for b, est in enumerate(models):
+                if opt.fmat:
+                    import cv2
+                    from utils import denormalize_pts_inplace
+
+                    E = K2[b].transpose(-1, -2) @ est @ K1[b]
+                    denormalize_pts_inplace(corr[b, 0:2], s1[b])
+                    denormalize_pts_inplace(corr[b, 2:4], s2[b])
+                    pts1 = corr[b, 0:2].numpy()
+                    pts2 = corr[b, 2:4].numpy()
+                    valid, F1, _, epi = f_error(
+                        pts1, pts2, est.numpy(), td["gt_F"][b].float().numpy(),
+                        0.75)
+                    if valid:
+                        f1s.append(F1)
+                        epis.append(epi)
+                    pts1 = cv2.undistortPoints(
+                        pts1.transpose(2, 1, 0), K1[b].numpy(), None)
+                    pts2 = cv2.undistortPoints(
+                        pts2.transpose(2, 1, 0), K2[b].numpy(), None)
+                    errR, errT = eval_essential_matrix(
+                        pts1.squeeze(), pts2.squeeze(), E,
+                        td["gt_R"][b].float(), td["gt_t"][b].float())
+                else:
+                    pts1 = corr[b, 0:2].squeeze(-1).numpy().T
+                    pts2 = corr[b, 2:4].squeeze(-1).numpy().T
+                    errR, errT = eval_essential_matrix(
+                        pts1, pts2, est, td["gt_R"][b].float(),
+                        td["gt_t"][b].float())
+                max_errors.append(max(float(errR), float(errT)))
+    sys.path.remove(REFERENCE)
+
+    out = {
+        "AUC@5": AUC(max_errors)[0],
+        "AUC@10": AUC(max_errors)[1],
+        "AUC@20": AUC(max_errors)[2],
+        "median_pose_error": float(np.median(max_errors)),
+        "search_s_per_pair": search_time / len(max_errors),
+    }
+    if args.fmat:
+        out["F1"] = float(np.mean(f1s)) if f1s else 0.0
+        out["median_epi_error"] = float(np.median(epis)) if epis else float("nan")
+    return out
+
+
+def run_ours(folder: str, args):
+    """This framework's eval pipeline with the SAME (imported) weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from differentiable_ransac_tpu.config import (
+        ModelKind, RansacConfig, SamplerKind,
+    )
+    from differentiable_ransac_tpu.data.datasets import TwoViewRecords
+    from differentiable_ransac_tpu.data.torch_import import load_reference_clnet
+    from differentiable_ransac_tpu.evaluate import (
+        aggregate_essential,
+        aggregate_fundamental,
+        evaluate_essential_batch,
+        evaluate_fundamental_batch,
+        make_eval_step,
+    )
+    from differentiable_ransac_tpu.models.clnet import CLNet
+
+    rcfg = RansacConfig(
+        model=ModelKind.FUNDAMENTAL if args.fmat else ModelKind.ESSENTIAL,
+        sampler=SamplerKind.GUMBEL_8PT if args.fmat else SamplerKind.GUMBEL,
+        threshold=args.threshold,
+        max_iterations=5000,
+    )
+    params, bstats = load_reference_clnet(args.ckpt)
+    model = CLNet()
+    eval_fn = make_eval_step(model, rcfg, prob_type=0, fast=not args.exact)
+
+    ds = TwoViewRecords([folder + "/"], 0.8, args.nf, rcfg.fmat)
+    results = []
+    search_time = 0.0
+    n_pairs = 0
+    for batch in ds.batches(args.batch_size):
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        t0 = time.perf_counter()
+        models, masks, scores, iters, w = eval_fn(
+            params, bstats, jb, jax.random.PRNGKey(0))
+        jax.block_until_ready(models)
+        search_time += time.perf_counter() - t0
+        n_pairs += models.shape[0]
+        if rcfg.fmat:
+            results += evaluate_fundamental_batch(models, batch, 0.75)
+        else:
+            results += evaluate_essential_batch(models, batch)
+    agg = (aggregate_fundamental if rcfg.fmat else aggregate_essential)(results)
+    agg["search_s_per_pair"] = search_time / max(n_pairs, 1)
+    return agg
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--scenes", type=int, default=16)
+    ap.add_argument("--nf", type=int, default=500)
+    ap.add_argument("--noise", type=float, default=1.0)
+    ap.add_argument("--outliers", type=float, default=0.4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--fmat", type=int, default=0)
+    ap.add_argument("--threshold", type=float, default=2.0)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--ckpt", default=os.path.join(
+        REFERENCE, "pretrained_models/saved_model_5PC_l_epi/model.net"))
+    ap.add_argument("--exact", action="store_true",
+                    help="use the all-f64 reference-semantics search "
+                         "(ransac_test) instead of the fast engine")
+    ap.add_argument("--skip_reference", action="store_true")
+    ap.add_argument("--data_dir", default=None,
+                    help="reuse an existing record folder instead of "
+                         "generating")
+    ap.add_argument("--out", default=None, help="append results to this md file")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the JAX side onto CPU (the axon TPU plugin "
+                         "ignores JAX_PLATFORMS; this uses jax.config)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.data_dir:
+        folder = args.data_dir
+    else:
+        folder = tempfile.mkdtemp(prefix="parity_")
+        generate_records(folder, args.scenes, args.nf, args.noise,
+                         args.outliers, args.seed)
+    print(f"records: {folder} ({args.scenes} scenes, nf={args.nf}, "
+          f"noise={args.noise}px, outliers={args.outliers})")
+
+    ours = run_ours(folder, args)
+    print("ours     :", {k: round(v, 4) for k, v in ours.items()})
+    if not args.skip_reference:
+        ref = run_reference(folder, args)
+        print("reference:", {k: round(v, 4) for k, v in ref.items()})
+    else:
+        ref = None
+
+    if args.out:
+        mode = "F" if args.fmat else "E"
+        with open(args.out, "a") as f:
+            f.write(f"\n### {mode}-mode, {args.scenes} scenes, nf={args.nf}, "
+                    f"noise={args.noise}px, outliers={args.outliers}, "
+                    f"t={args.threshold}, seed={args.seed}\n\n")
+            keys = sorted(set(ours) | set(ref or {}))
+            f.write("| metric | reference (torch CPU) | this framework |\n")
+            f.write("|---|---|---|\n")
+            for k in keys:
+                rv = f"{ref[k]:.4f}" if ref and k in ref else "—"
+                ov = f"{ours[k]:.4f}" if k in ours else "—"
+                f.write(f"| {k} | {rv} | {ov} |\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

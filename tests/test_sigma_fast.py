@@ -1,0 +1,200 @@
+"""σ-consensus (MAGSAC) search-time scoring + the fast adaptive engine."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from differentiable_ransac_tpu.config import (
+    ModelKind,
+    RansacConfig,
+    SamplerKind,
+    ScoringKind,
+)
+from differentiable_ransac_tpu.data.synthetic import two_view_problem
+from differentiable_ransac_tpu.engine import (
+    ransac_fixed,
+    ransac_test,
+    ransac_test_fast,
+)
+from differentiable_ransac_tpu.samplers import prosac_logits_from_weights
+from differentiable_ransac_tpu.scoring import (
+    magsac_score,
+    msac_score,
+    _sigma_marginal_weights,
+)
+
+
+def _model_distance(A, B):
+    A = np.asarray(A) / np.linalg.norm(A)
+    B = np.asarray(B) / np.linalg.norm(B)
+    return min(np.linalg.norm(A - B), np.linalg.norm(A + B))
+
+
+# ---------------------------------------------------------------------------
+# magsac_score unit behavior
+# ---------------------------------------------------------------------------
+
+def test_sigma_weights_shape_and_monotonicity():
+    d2 = jnp.array([0.0, 1e-8, 1e-6, 1e-4, 1.0])
+    w = _sigma_marginal_weights(d2, sigma_max=1e-3, levels=10)
+    w = np.asarray(w)
+    # zero residual gets the largest weight; weights decay with residual
+    assert np.all(np.diff(w) <= 1e-12)
+    # residual beyond (3.64 σ_max)² gets exactly zero
+    assert w[-1] == 0.0
+    assert w[0] > 0
+
+
+def test_magsac_score_masks_and_ranks():
+    prob = two_view_problem(n_points=256, noise=1.0, outlier_ratio=0.3, seed=3)
+    pts = jnp.asarray(prob["matches"])
+    E_gt = jnp.asarray(prob["E"], jnp.float32)
+    E_bad = jnp.eye(3, dtype=jnp.float32)
+    models = jnp.stack([E_gt, E_bad])
+    sigma_max = 2.0 / 1000.0
+    scores, masks = magsac_score(pts, models, sigma_max)
+    assert scores.shape == (2,) and masks.shape == (2, 256)
+    # GT model must outscore a junk model, and its support must cover most
+    # true inliers
+    assert float(scores[0]) > float(scores[1])
+    recall = np.asarray(masks[0])[prob["inlier_mask"]].mean()
+    assert recall > 0.9
+
+    # point_mask zeros contribute nothing
+    pm = jnp.zeros((256,), jnp.float32)
+    s0, m0 = magsac_score(pts, models, sigma_max, point_mask=pm)
+    assert float(s0[0]) == 0.0 and not bool(m0.any())
+
+
+def test_magsac_selection_beats_msac_on_misspecified_threshold():
+    """The σ-marginalized quality is robust to a too-large threshold (it
+    integrates over smaller noise scales); plain MSAC with the same
+    threshold picks sloppier models. This is the property that makes the
+    reference's MAGSAC++ hand-off its SOTA path."""
+    threshold = 24.0 / 1000.0  # ~24px at f=1000 — far above the true 1px noise
+    errs = {"msac": [], "magsac": []}
+    fns = {}
+    for kind, name in ((ScoringKind.MSAC, "msac"),
+                       (ScoringKind.MAGSAC, "magsac")):
+        cfg = RansacConfig(model=ModelKind.ESSENTIAL,
+                           sampler=SamplerKind.GUMBEL,
+                           scoring=kind, solver_precision=1)
+        fns[name] = jax.jit(
+            lambda p, l, k, cfg=cfg: ransac_fixed(
+                cfg, p, l, k, threshold=threshold,
+                num_hypotheses=512)["best_model"])
+    for seed in range(8):
+        prob = two_view_problem(n_points=512, noise=1.0, outlier_ratio=0.6,
+                                seed=1000 + seed)
+        pts = jnp.asarray(prob["matches"])
+        logits = jnp.zeros((512,), jnp.float32)
+        key = jax.random.PRNGKey(seed)
+        for name in ("msac", "magsac"):
+            errs[name].append(_model_distance(fns[name](pts, logits, key),
+                                              prob["E"]))
+    # same hypothesis set for both (same key): the difference is purely the
+    # model-selection criterion. σ-consensus must be strictly better on
+    # average and never meaningfully worse per trial.
+    assert np.mean(errs["magsac"]) < 0.7 * np.mean(errs["msac"]), errs
+    assert all(a <= b + 0.02 for a, b in zip(errs["magsac"], errs["msac"])), errs
+
+
+# ---------------------------------------------------------------------------
+# fast adaptive engine
+# ---------------------------------------------------------------------------
+
+def test_ransac_test_fast_finds_model_and_respects_budget():
+    prob = two_view_problem(n_points=512, noise=0.5, outlier_ratio=0.3, seed=7)
+    pts = jnp.asarray(prob["matches"])
+    logits = jnp.zeros((512,), jnp.float32)
+    cfg = RansacConfig(model=ModelKind.ESSENTIAL, sampler=SamplerKind.GUMBEL,
+                       max_iterations=2048, threshold=2.0)
+    thr = jnp.asarray(2.0 / 1000.0, jnp.float32)
+    model, mask, score, iters = jax.jit(
+        lambda p, l, k: ransac_test_fast(cfg, p, l, k, threshold=thr,
+                                         chunk=256, rescue_k=32)
+    )(pts, logits, jax.random.PRNGKey(0))
+    assert _model_distance(model, prob["E"]) < 0.1
+    assert float(score) > 0
+    assert 0 < int(iters) <= cfg.max_iterations + 256
+    # adaptive early exit: 70% inliers at 512 points stops WAY before 2048
+    assert int(iters) < 2048
+    recall = np.asarray(mask)[prob["inlier_mask"]].mean()
+    assert recall > 0.8
+
+
+def test_ransac_test_fast_quality_matches_exact_path():
+    cfg = RansacConfig(model=ModelKind.ESSENTIAL, sampler=SamplerKind.GUMBEL,
+                       max_iterations=1024, threshold=2.0)
+    thr = jnp.asarray(2.0 / 1000.0, jnp.float32)
+    fast_errs, exact_errs = [], []
+    for seed in range(3):
+        prob = two_view_problem(n_points=256, noise=0.5, outlier_ratio=0.3,
+                                seed=200 + seed)
+        pts = jnp.asarray(prob["matches"])
+        logits = jnp.zeros((256,), jnp.float32)
+        key = jax.random.PRNGKey(seed)
+        mf, _, _, _ = jax.jit(
+            lambda p, l, k: ransac_test_fast(cfg, p, l, k, threshold=thr,
+                                             chunk=256, rescue_k=32)
+        )(pts, logits, key)
+        me, _, _, _ = jax.jit(
+            lambda p, l, k: ransac_test(cfg, p, l, k, threshold=thr)
+        )(pts, logits, key)
+        fast_errs.append(_model_distance(mf, prob["E"]))
+        exact_errs.append(_model_distance(me, prob["E"]))
+    # both find the model; fast path within 2x of exact-path error budget
+    assert np.max(fast_errs) < 0.1, fast_errs
+    assert np.max(exact_errs) < 0.1, exact_errs
+
+
+def test_ransac_test_fast_rigid():
+    from differentiable_ransac_tpu.data.synthetic import rigid_problem
+
+    prob = rigid_problem(n_points=256, noise=0.01, outlier_ratio=0.3, seed=5)
+    pts = jnp.asarray(prob["points"])
+    logits = jnp.zeros((256,), jnp.float32)
+    cfg = RansacConfig(model=ModelKind.RIGID, sampler=SamplerKind.GUMBEL,
+                       max_iterations=512, threshold=0.05)
+    model, mask, score, iters = jax.jit(
+        lambda p, l, k: ransac_test_fast(cfg, p, l, k, chunk=128, rescue_k=16)
+    )(pts, logits, jax.random.PRNGKey(1))
+    T = np.asarray(prob["transform"])
+    assert np.linalg.norm(np.asarray(model) - T) < 0.1
+    assert float(score) > 0
+
+
+def test_ransac_test_fast_magsac_scoring():
+    """The fast engine composes with σ-consensus scoring."""
+    prob = two_view_problem(n_points=256, noise=1.0, outlier_ratio=0.3, seed=9)
+    pts = jnp.asarray(prob["matches"])
+    logits = jnp.zeros((256,), jnp.float32)
+    cfg = RansacConfig(model=ModelKind.ESSENTIAL, sampler=SamplerKind.GUMBEL,
+                       max_iterations=512, scoring=ScoringKind.MAGSAC)
+    thr = jnp.asarray(3.0 / 1000.0, jnp.float32)
+    model, mask, score, iters = jax.jit(
+        lambda p, l, k: ransac_test_fast(cfg, p, l, k, threshold=thr,
+                                         chunk=256, rescue_k=32)
+    )(pts, logits, jax.random.PRNGKey(2))
+    assert _model_distance(model, prob["E"]) < 0.1
+    assert float(score) > 0
+
+
+# ---------------------------------------------------------------------------
+# PROSAC ordering
+# ---------------------------------------------------------------------------
+
+def test_prosac_logits_from_weights():
+    w = jnp.asarray([0.1, 0.9, 0.5, 0.7])
+    logits = np.asarray(prosac_logits_from_weights(w))
+    # ordering of logits must follow ordering of weights
+    assert np.argmax(logits) == 1 and np.argmin(logits) == 0
+    assert (np.argsort(logits) == np.argsort(np.asarray(w))).all()
+    # magnitudes are rank-determined: scaling weights leaves logits unchanged
+    logits2 = np.asarray(prosac_logits_from_weights(w * 100.0))
+    np.testing.assert_allclose(logits, logits2)
+    # batched form
+    lb = prosac_logits_from_weights(jnp.stack([w, w[::-1]]))
+    assert lb.shape == (2, 4)
+    np.testing.assert_allclose(np.asarray(lb)[0], logits)
