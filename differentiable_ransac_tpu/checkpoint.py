@@ -1,0 +1,147 @@
+"""Orbax-backed checkpointing: restart-safe, multi-host aware.
+
+The reference saves only ``model.state_dict()`` per epoch
+(``/root/reference/train.py:186``) — no optimizer state, no step, no
+resume. This module checkpoints the FULL training state:
+
+* ``params`` / ``batch_stats`` / ``opt_state`` / ``step`` (the
+  :class:`~differentiable_ransac_tpu.train.TrainState` tuple),
+* the training PRNG key,
+* the data position (epoch index, within-epoch batch index, shuffle
+  seed) — so a restarted run continues the exact sample sequence.
+
+Orbax provides the production properties the round-1 pickle fallback
+lacked: atomic directory commit (a killed save never corrupts the latest
+good checkpoint), multi-host coordination (all hosts participate in the
+save barrier; no torn multi-process writes), async-capable saves, and
+retention management (``max_to_keep``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class DataPosition:
+    """Dataset cursor for exact-resume (the reference cannot resume at all)."""
+
+    epoch: int = 0
+    batch: int = 0
+    shuffle_seed: int = 0
+
+    def to_tree(self):
+        return {
+            "epoch": np.int64(self.epoch),
+            "batch": np.int64(self.batch),
+            "shuffle_seed": np.int64(self.shuffle_seed),
+        }
+
+    @classmethod
+    def from_tree(cls, tree):
+        return cls(
+            epoch=int(tree["epoch"]),
+            batch=int(tree["batch"]),
+            shuffle_seed=int(tree["shuffle_seed"]),
+        )
+
+
+class CheckpointManager:
+    """Thin wrapper over ``orbax.checkpoint.CheckpointManager``.
+
+    Usage::
+
+        mgr = CheckpointManager(out_dir, max_to_keep=3)
+        mgr.save(step, state, rng=key, data=DataPosition(epoch, batch))
+        state, rng, data = mgr.restore(state)   # template for structure
+        mgr.close()                             # flush async saves
+    """
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        import os
+
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.directory = os.path.abspath(directory)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    # -- save ---------------------------------------------------------------
+    def save(self, step: int, state, rng: Optional[jax.Array] = None,
+             data: Optional[DataPosition] = None, wait: bool = False) -> bool:
+        """Checkpoint the full training state at ``step``.
+
+        Multi-host: call from EVERY process (orbax coordinates; with fully
+        replicated state host 0 writes the arrays). Returns True if a save
+        was performed (orbax may skip per retention policy).
+        """
+        import flax
+
+        tree = {
+            "params": flax.serialization.to_state_dict(state.params),
+            "batch_stats": flax.serialization.to_state_dict(state.batch_stats),
+            "opt_state": flax.serialization.to_state_dict(state.opt_state),
+            "step": np.asarray(state.step),
+        }
+        if rng is not None:
+            # typed PRNG keys can't convert to numpy directly
+            if jax.dtypes.issubdtype(rng.dtype, jax.dtypes.prng_key):
+                tree["rng"] = np.asarray(jax.random.key_data(rng))
+            else:
+                tree["rng"] = np.asarray(rng)
+        if data is not None:
+            tree["data"] = data.to_tree()
+        saved = self.manager.save(
+            int(step), args=self._ocp.args.StandardSave(tree)
+        )
+        if wait:
+            self.manager.wait_until_finished()
+        return bool(saved)
+
+    # -- restore --------------------------------------------------------------
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def restore(self, state_template, step: Optional[int] = None):
+        """Restore ``(TrainState, rng | None, DataPosition | None)``.
+
+        ``state_template`` supplies the pytree structure (a freshly
+        initialized TrainState); values are replaced from the checkpoint.
+        """
+        import flax
+
+        from differentiable_ransac_tpu.train import TrainState
+
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        tree = self.manager.restore(int(step))
+        state = TrainState(
+            params=flax.serialization.from_state_dict(
+                state_template.params, tree["params"]),
+            batch_stats=flax.serialization.from_state_dict(
+                state_template.batch_stats, tree["batch_stats"]),
+            opt_state=flax.serialization.from_state_dict(
+                state_template.opt_state, tree["opt_state"]),
+            step=jnp.asarray(tree["step"], jnp.int32),
+        )
+        rng = None
+        if "rng" in tree and tree["rng"] is not None:
+            rng = jax.random.wrap_key_data(jnp.asarray(tree["rng"]))
+        data = DataPosition.from_tree(tree["data"]) if "data" in tree else None
+        return state, rng, data
+
+    def close(self):
+        self.manager.wait_until_finished()
+        self.manager.close()

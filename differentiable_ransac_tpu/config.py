@@ -98,6 +98,13 @@ class RansacConfig:
     # Maximum noise scale σ_max for MAGSAC scoring, as a multiplier on the
     # (focal-normalized) threshold; 0.0 -> 1.0 (σ_max = threshold).
     sigma_max: float = 0.0
+    # Final-refit rounds (IRLS): refit on the winner's support, rescore,
+    # keep if better, repeat. The reference does ONE refit
+    # (``ransac.py:148-195``); >1 iterates it to convergence of the inlier
+    # set. In MAGSAC scoring mode each round is σ-weighted over ALL points
+    # (the σ-consensus polish of MAGSAC++, same marginal weights as the
+    # native ``csrc/sigma_consensus.cpp``) instead of binary-mask LSQ.
+    refit_rounds: int = 4
     train: bool = False
     eps: float = 1e-5
     precision: int = 1  # 0 fp16, 1 fp32, 2 fp64 (reference ``utils.py:42-43``)

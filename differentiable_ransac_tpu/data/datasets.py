@@ -162,14 +162,25 @@ class TwoViewRecords:
         }
 
     def batches(self, batch_size: int, shuffle: bool = False,
-                drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+                drop_last: bool = True, seed: int | None = None,
+                skip: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield stacked-record batches.
+
+        ``seed`` makes the shuffle order a pure function of its value (for
+        exact checkpoint resume — pass e.g. ``base_seed + epoch``); without
+        it the internal stateful rng is used. ``skip`` drops the first N
+        batches (resuming mid-epoch at a checkpointed batch index).
+        """
         order = np.arange(len(self))
         if shuffle:
-            self.rng.shuffle(order)
-        for start in range(0, len(order), batch_size):
+            (np.random.default_rng(seed) if seed is not None else self.rng
+             ).shuffle(order)
+        for bi, start in enumerate(range(0, len(order), batch_size)):
             idx = order[start:start + batch_size]
             if len(idx) < batch_size and drop_last:
                 return
+            if bi < skip:
+                continue
             items = [self[i] for i in idx]
             yield {k: np.stack([it[k] for it in items]) for k in items[0]}
 
@@ -200,14 +211,25 @@ class ThreeDRecords:
         return {"correspondences": corr, "gt_pose": gt_pose}
 
     def batches(self, batch_size: int, shuffle: bool = False,
-                drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+                drop_last: bool = True, seed: int | None = None,
+                skip: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield stacked-record batches.
+
+        ``seed`` makes the shuffle order a pure function of its value (for
+        exact checkpoint resume — pass e.g. ``base_seed + epoch``); without
+        it the internal stateful rng is used. ``skip`` drops the first N
+        batches (resuming mid-epoch at a checkpointed batch index).
+        """
         order = np.arange(len(self))
         if shuffle:
-            self.rng.shuffle(order)
-        for start in range(0, len(order), batch_size):
+            (np.random.default_rng(seed) if seed is not None else self.rng
+             ).shuffle(order)
+        for bi, start in enumerate(range(0, len(order), batch_size)):
             idx = order[start:start + batch_size]
             if len(idx) < batch_size and drop_last:
                 return
+            if bi < skip:
+                continue
             items = [self[i] for i in idx]
             yield {k: np.stack([it[k] for it in items]) for k in items[0]}
 

@@ -438,21 +438,64 @@ def _adaptive_iterations(cfg: RansacConfig, inlier_number, point_number):
     return jnp.where(fail >= 1.0 - cfg.eps, float(cfg.max_iterations), bound)
 
 
+def _support_weights(cfg, points, threshold, point_mask, state):
+    """Per-point refit weights from the current winner's support.
+
+    MSAC mode: the binary inlier mask (the reference's refit support,
+    ``ransac.py:148-151``). MAGSAC mode: σ-marginalized weights over ALL
+    points — the σ-consensus polish of MAGSAC++ (same marginal weights as
+    the native ``csrc/sigma_consensus.cpp``), making the refit an IRLS step
+    of the marginalized objective rather than a hard-threshold LSQ.
+    """
+    if cfg.scoring == ScoringKind.MAGSAC:
+        from differentiable_ransac_tpu.scoring import _sigma_marginal_weights
+        from differentiable_ransac_tpu.ops.epipolar import sampson_squared
+
+        sigma_max = threshold * (cfg.sigma_max if cfg.sigma_max > 0 else 1.0)
+        if cfg.model == ModelKind.RIGID:
+            from differentiable_ransac_tpu.solvers.rigid import rigid_squared_residual
+
+            d2, _ = rigid_squared_residual(
+                points[:, :3], points[:, 3:], state.model[None]
+            )
+            d2 = d2[0]
+        else:
+            d2 = sampson_squared(state.model[None], points)[0]
+        w = _sigma_marginal_weights(d2, sigma_max, cfg.sigma_levels)
+        if point_mask is not None:
+            w = w * point_mask
+        return w.astype(points.dtype)
+    return state.mask.astype(points.dtype)
+
+
 def _refit_and_update(cfg, points, threshold, point_mask, state, weights=None):
-    """Non-minimal refit on the current inliers; keep if it scores better."""
+    """Iterated non-minimal refit on the winner's support; keep-if-better.
+
+    ``cfg.refit_rounds == 1`` is the reference's single final refit
+    (``ransac.py:148-195``); more rounds iterate refit → rescore → new
+    support (IRLS) — each round costs one non-minimal solve + one 1×N
+    scoring, negligible next to the search, and the keep-if-better accept
+    makes the sequence monotone in score.
+    """
     nonminimal = _nonminimal_solver(cfg)
-    w = state.mask.astype(points.dtype)
-    if weights is not None:
-        w = w * weights
-    model = nonminimal(points, w)
-    scores, masks = _score(cfg, points, model[None], threshold, point_mask)
-    better = (scores[0] > state.score) & jnp.all(jnp.isfinite(model))
-    return state._replace(
-        score=jnp.where(better, scores[0], state.score),
-        model=jnp.where(better, model, state.model),
-        mask=jnp.where(better, masks[0], state.mask),
-        inliers=jnp.where(better, jnp.sum(masks[0]), state.inliers),
-    )
+
+    def one_round(st):
+        w = _support_weights(cfg, points, threshold, point_mask, st)
+        if weights is not None:
+            w = w * weights
+        model = nonminimal(points, w)
+        scores, masks = _score(cfg, points, model[None], threshold, point_mask)
+        better = (scores[0] > st.score) & jnp.all(jnp.isfinite(model))
+        return st._replace(
+            score=jnp.where(better, scores[0], st.score),
+            model=jnp.where(better, model, st.model),
+            mask=jnp.where(better, masks[0], st.mask),
+            inliers=jnp.where(better, jnp.sum(masks[0]), st.inliers),
+        )
+
+    for _ in range(max(1, cfg.refit_rounds)):
+        state = one_round(state)
+    return state
 
 
 def _local_optimization(cfg: RansacConfig, points, threshold, point_mask, state):

@@ -80,7 +80,8 @@ def run_reference(folder: str, args):
     loader = torch.utils.data.DataLoader(ds, batch_size=args.batch_size,
                                          shuffle=False)
 
-    max_errors, f1s, epis = [], [], []
+    max_errors, f1s, epis, est_models = [], [], [], []
+    scene_f1s = []  # per-scene −F1 (F mode), parallel to est_models
     search_time = 0.0
     with torch.no_grad():
         for td in loader:
@@ -93,7 +94,7 @@ def run_reference(folder: str, args):
             for b, est in enumerate(models):
                 if opt.fmat:
                     import cv2
-                    from utils import denormalize_pts_inplace
+                    from cv_utils import denormalize_pts_inplace
 
                     E = K2[b].transpose(-1, -2) @ est @ K1[b]
                     denormalize_pts_inplace(corr[b, 0:2], s1[b])
@@ -106,6 +107,7 @@ def run_reference(folder: str, args):
                     if valid:
                         f1s.append(F1)
                         epis.append(epi)
+                    scene_f1s.append(-float(F1) if valid else 0.0)
                     pts1 = cv2.undistortPoints(
                         pts1.transpose(2, 1, 0), K1[b].numpy(), None)
                     pts2 = cv2.undistortPoints(
@@ -120,6 +122,7 @@ def run_reference(folder: str, args):
                         pts1, pts2, est, td["gt_R"][b].float(),
                         td["gt_t"][b].float())
                 max_errors.append(max(float(errR), float(errT)))
+                est_models.append(np.asarray(est))
     sys.path.remove(REFERENCE)
 
     out = {
@@ -132,7 +135,7 @@ def run_reference(folder: str, args):
     if args.fmat:
         out["F1"] = float(np.mean(f1s)) if f1s else 0.0
         out["median_epi_error"] = float(np.median(epis)) if epis else float("nan")
-    return out
+    return out, (scene_f1s if args.fmat else max_errors), est_models
 
 
 def run_ours(folder: str, args):
@@ -166,23 +169,32 @@ def run_ours(folder: str, args):
 
     ds = TwoViewRecords([folder + "/"], 0.8, args.nf, rcfg.fmat)
     results = []
+    est_models = []
     search_time = 0.0
     n_pairs = 0
+    warmed = False
     for batch in ds.batches(args.batch_size):
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        if not warmed:  # compile outside the timed region
+            jax.block_until_ready(
+                eval_fn(params, bstats, jb, jax.random.PRNGKey(0))[0])
+            warmed = True
         t0 = time.perf_counter()
         models, masks, scores, iters, w = eval_fn(
             params, bstats, jb, jax.random.PRNGKey(0))
         jax.block_until_ready(models)
         search_time += time.perf_counter() - t0
         n_pairs += models.shape[0]
+        est_models.append(np.asarray(models))
         if rcfg.fmat:
             results += evaluate_fundamental_batch(models, batch, 0.75)
         else:
             results += evaluate_essential_batch(models, batch)
     agg = (aggregate_fundamental if rcfg.fmat else aggregate_essential)(results)
     agg["search_s_per_pair"] = search_time / max(n_pairs, 1)
-    return agg
+    # per-scene comparison values: pose error (E) or F1 (F)
+    errs = [r.get("err_pose", -r.get("F1", 0.0)) for r in results]
+    return agg, errs, np.concatenate(est_models, axis=0)
 
 
 def main():
@@ -205,6 +217,9 @@ def main():
                     help="reuse an existing record folder instead of "
                          "generating")
     ap.add_argument("--out", default=None, help="append results to this md file")
+    ap.add_argument("--dump", default=None,
+                    help="save per-scene estimated models (.npz) for "
+                         "cross-metric analysis")
     ap.add_argument("--cpu", action="store_true",
                     help="force the JAX side onto CPU (the axon TPU plugin "
                          "ignores JAX_PLATFORMS; this uses jax.config)")
@@ -224,11 +239,23 @@ def main():
     print(f"records: {folder} ({args.scenes} scenes, nf={args.nf}, "
           f"noise={args.noise}px, outliers={args.outliers})")
 
-    ours = run_ours(folder, args)
+    ours, our_errs, our_models = run_ours(folder, args)
     print("ours     :", {k: round(v, 4) for k, v in ours.items()})
     if not args.skip_reference:
-        ref = run_reference(folder, args)
+        ref, ref_errs, ref_models = run_reference(folder, args)
         print("reference:", {k: round(v, 4) for k, v in ref.items()})
+        if our_errs is not None and len(our_errs) == len(ref_errs):
+            print("per-scene max pose error (ref vs ours):")
+            for i, (re_, oe) in enumerate(zip(ref_errs, our_errs)):
+                flag = " <-- ours worse" if oe > re_ + 1.0 else (
+                    " <-- ours better" if re_ > oe + 1.0 else "")
+                print(f"  scene {i:3d}: ref {re_:7.2f}  ours {oe:7.2f}{flag}")
+        if args.dump:
+            np.savez(args.dump, ref_models=np.stack(ref_models),
+                     our_models=our_models,
+                     ref_errs=np.asarray(ref_errs),
+                     our_errs=np.asarray(our_errs if our_errs else []))
+            print(f"dumped models to {args.dump}")
     else:
         ref = None
 

@@ -16,6 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+from differentiable_ransac_tpu.checkpoint import CheckpointManager, DataPosition
 from differentiable_ransac_tpu.config import session_string
 from differentiable_ransac_tpu.data.datasets import TwoViewRecords
 from differentiable_ransac_tpu.train import (
@@ -23,13 +24,17 @@ from differentiable_ransac_tpu.train import (
     create_train_state,
     load_checkpoint,
     make_train_step,
-    save_checkpoint,
 )
 from differentiable_ransac_tpu.utils import MetricsLogger, build_parser, configs_from_args
 
 
 def main():
-    args = build_parser("TPU ∇-RANSAC end-to-end training").parse_args()
+    parser = build_parser("TPU ∇-RANSAC end-to-end training")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest orbax checkpoint in the "
+                             "session dir (full state: params, opt, step, "
+                             "RNG, data position)")
+    args = parser.parse_args()
     args.tr = 1
     tcfg, rcfg = configs_from_args(args)
 
@@ -52,9 +57,24 @@ def main():
     logger = MetricsLogger(args.out_dir, session)
     key = jax.random.PRNGKey(tcfg.seed + 1)
 
-    for epoch in range(tcfg.epochs):
+    ckpt = CheckpointManager(os.path.join(logger.dir, "ckpt"), max_to_keep=3)
+    start_epoch, start_batch = 0, 0
+    if args.resume and ckpt.latest_step() is not None:
+        state, rkey, data = ckpt.restore(state)
+        if rkey is not None:
+            key = rkey
+        if data is not None:
+            start_epoch, start_batch = data.epoch, data.batch
+        print(f"resumed step {int(state.step)} "
+              f"(epoch {start_epoch}, batch {start_batch})")
+
+    for epoch in range(start_epoch, tcfg.epochs):
         t0 = time.time()
-        for batch in train_ds.batches(tcfg.batch_size, shuffle=True):
+        skip = start_batch if epoch == start_epoch else 0
+        for bi, batch in enumerate(
+            train_ds.batches(tcfg.batch_size, shuffle=True,
+                             seed=tcfg.seed + epoch, skip=skip)
+        ):
             key, sub = jax.random.split(key)
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             state, metrics = step_fn(state, jb, sub)
@@ -64,7 +84,8 @@ def main():
                 print(f"epoch {epoch} step {int(state.step)} "
                       f"loss {float(metrics['loss']):.4f} "
                       f"({time.time() - t0:.1f}s)")
-        save_checkpoint(os.path.join(logger.dir, f"model_epoch_{epoch}.pkl"), state)
+        ckpt.save(int(state.step), state, rng=key,
+                  data=DataPosition(epoch + 1, 0, tcfg.seed))
 
         if valid_ds is not None:
             from differentiable_ransac_tpu.evaluate import (
@@ -84,6 +105,7 @@ def main():
             logger.log(int(state.step), agg, prefix="valid/")
             print(f"epoch {epoch} valid: {agg}")
 
+    ckpt.close()
     logger.close()
 
 

@@ -1,0 +1,132 @@
+"""Behavior-matrix coverage: every knob combination of the reference's flag
+system (``/root/reference/utils.py:7-83``) must run and return finite
+models — sampler × weighted × lo × scoring × precision (VERDICT r1 #10:
+weighted 5PC train, lo=3 essential, PROSAC and fp16 had no coverage).
+
+Budgets are tiny (N=64, few iterations, f32 cores) — these are
+does-it-run-and-stay-finite checks, not accuracy tests (those live in
+test_engine*/test_solvers).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from differentiable_ransac_tpu.config import (
+    ModelKind,
+    RansacConfig,
+    SamplerKind,
+    ScoringKind,
+)
+from differentiable_ransac_tpu.data.synthetic import two_view_problem
+from differentiable_ransac_tpu.engine import (
+    ransac_test_fast,
+    ransac_train,
+)
+
+N = 64
+
+
+def _problem():
+    p = two_view_problem(n_points=N, noise=0.5, outlier_ratio=0.3, seed=3)
+    return jnp.asarray(p["matches"]), jnp.asarray(p["E"], jnp.float32)
+
+
+THR = jnp.asarray(2.0 / 1000.0, jnp.float32)
+
+
+@pytest.mark.parametrize("sampler", [SamplerKind.UNIFORM, SamplerKind.GUMBEL])
+@pytest.mark.parametrize("weighted", [False, True])
+@pytest.mark.parametrize("scoring", [ScoringKind.MSAC, ScoringKind.MAGSAC])
+def test_search_matrix(sampler, weighted, scoring):
+    if weighted and sampler == SamplerKind.UNIFORM:
+        pytest.skip("weighted solves need sampler soft weights")
+    pts, _ = _problem()
+    cfg = RansacConfig(model=ModelKind.ESSENTIAL, sampler=sampler,
+                       weighted=weighted, scoring=scoring,
+                       max_iterations=64, solver_precision=1,
+                       refit_rounds=2)
+    logits = jnp.zeros((N,), jnp.float32)
+    model, mask, score, iters = jax.jit(
+        lambda p, l, k: ransac_test_fast(cfg, p, l, k, threshold=THR,
+                                         chunk=32, rescue_k=8)
+    )(pts, logits, jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(model)).all()
+    assert float(score) > 0
+
+
+@pytest.mark.parametrize("lo", [1, 2, 3])
+def test_lo_matrix_essential(lo):
+    pts, _ = _problem()
+    cfg = RansacConfig(model=ModelKind.ESSENTIAL, sampler=SamplerKind.GUMBEL,
+                       lo=lo, lo_iters=2, max_iterations=32,
+                       solver_precision=1, refit_rounds=1)
+    logits = jnp.zeros((N,), jnp.float32)
+    model, mask, score, iters = jax.jit(
+        lambda p, l, k: ransac_test_fast(cfg, p, l, k, threshold=THR,
+                                         chunk=32, rescue_k=8)
+    )(pts, logits, jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(model)).all()
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_train_weighted_5pc(weighted):
+    """Weighted 5PC minimal solves in train mode (reference ``-wei 1``,
+    ``ransac.py:70-76``)."""
+    pts, gtE = _problem()
+    cfg = RansacConfig(model=ModelKind.ESSENTIAL, sampler=SamplerKind.GUMBEL,
+                       weighted=weighted, train=True, max_iterations=8,
+                       solver_precision=1)
+    logits = jnp.zeros((N,), jnp.float32)
+
+    def loss(lg):
+        models, valid = ransac_train(cfg, pts, lg, gtE, jax.random.PRNGKey(2))
+        d = jnp.linalg.norm(
+            models / jnp.linalg.norm(models, axis=(-2, -1), keepdims=True)
+            - gtE / jnp.linalg.norm(gtE), axis=(-2, -1))
+        return jnp.sum(jnp.where(valid, d, 0.0)) / jnp.maximum(jnp.sum(valid), 1)
+
+    val, g = jax.jit(jax.value_and_grad(loss))(logits)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_prosac_ordering_runs():
+    """PROSAC rank-probability logits drive the search end-to-end
+    (reference ``test_magsac.py:45``)."""
+    from differentiable_ransac_tpu.samplers import prosac_logits_from_weights
+
+    pts, _ = _problem()
+    cfg = RansacConfig(model=ModelKind.ESSENTIAL, sampler=SamplerKind.GUMBEL,
+                       max_iterations=32, solver_precision=1, refit_rounds=1)
+    weights = jnp.linspace(1.0, 0.0, N)
+    logits = prosac_logits_from_weights(weights)
+    assert np.isfinite(np.asarray(logits)).all()
+    # higher-ranked points must get higher logits
+    assert float(logits[0]) > float(logits[-1])
+    model, mask, score, iters = jax.jit(
+        lambda p, l, k: ransac_test_fast(cfg, p, l, k, threshold=THR,
+                                         chunk=32, rescue_k=8)
+    )(pts, logits, jax.random.PRNGKey(4))
+    assert np.isfinite(np.asarray(model)).all()
+
+
+def test_fp16_pipeline_smoke():
+    """precision=0 (fp16, reference ``utils.py:42-43``): points in half
+    precision flow through the fast search; solver cores still run in their
+    configured precision, output casts back to fp16."""
+    pts, _ = _problem()
+    cfg = RansacConfig(model=ModelKind.ESSENTIAL, sampler=SamplerKind.GUMBEL,
+                       precision=0, max_iterations=32, solver_precision=1,
+                       refit_rounds=1)
+    assert cfg.dtype == jnp.float16
+    pts16 = pts.astype(jnp.float16)
+    logits = jnp.zeros((N,), jnp.float16)
+    model, mask, score, iters = jax.jit(
+        lambda p, l, k: ransac_test_fast(
+            cfg, p, l, k, threshold=THR.astype(jnp.float16),
+            chunk=32, rescue_k=8)
+    )(pts16, logits, jax.random.PRNGKey(5))
+    m = np.asarray(model)
+    assert m.dtype == np.float16
+    assert np.isfinite(m).all()
