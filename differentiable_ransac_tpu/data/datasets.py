@@ -270,3 +270,23 @@ def write_synthetic_two_view_record(path: str, n_points: int = 500, seed: int = 
     record[14] = np.zeros((1, n, 4), np.float32)
     np.save(path, record, allow_pickle=True)
     return p
+
+
+def write_synthetic_rigid_record(path: str, n_points: int = 1000, seed: int = 0,
+                                 noise: float = 0.01, outlier_ratio: float = 0.4):
+    """Emit a synthetic 3D record in the reference's ``Dataset3D`` ``.npz``
+    layout (``/root/reference/datasets.py:326-336``: ``transform``,
+    ``corr_scores``, ``src_corr_points``, ``ref_corr_points``) so the torch
+    reference and this framework can consume the IDENTICAL file."""
+    from differentiable_ransac_tpu.data.synthetic import rigid_problem
+
+    p = rigid_problem(n_points=n_points, noise=noise,
+                      outlier_ratio=outlier_ratio, seed=seed)
+    rng = np.random.default_rng(seed)
+    # correspondence scores: noisy inlier cue, as a matcher would produce
+    scores = (p["inlier_mask"].astype(np.float32) * 0.5 + 0.25
+              + rng.uniform(-0.2, 0.2, n_points).astype(np.float32))
+    np.savez(path, transform=p["transform"], corr_scores=scores,
+             src_corr_points=p["points"][:, :3],
+             ref_corr_points=p["points"][:, 3:])
+    return p

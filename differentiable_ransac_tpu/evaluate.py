@@ -112,9 +112,12 @@ def evaluate_essential_batch(models, batch) -> List[Dict[str, float]]:
 
 
 def evaluate_fundamental_batch(models, batch, threshold: float = 0.75) -> List[Dict[str, float]]:
-    """F1 / inlier-ratio / epipolar error per pair (Ranftl–Koltun protocol)."""
+    """F1 / inlier-ratio / epipolar error per pair (Ranftl–Koltun protocol),
+    plus relative-pose errors via E = K2ᵀ F K1 (the reference's F-mode also
+    reports pose AUC, ``test.py:52-86``)."""
     results = []
     models = np.asarray(models)
+    K1s = np.asarray(batch["K1"]) if "K1" in batch else None
     for b in range(models.shape[0]):
         feats = np.asarray(batch["correspondences"][b])
         s1 = np.asarray(batch["im_size1"][b])
@@ -124,7 +127,19 @@ def evaluate_fundamental_batch(models, batch, threshold: float = 0.75) -> List[D
         valid, f1, inliers, epi = metrics.f_error(
             p1.T, p2.T, models[b], np.asarray(batch["gt_F"][b]), threshold
         )
-        results.append({"valid": float(valid), "F1": f1, "inliers": inliers, "epi_error": epi})
+        res = {"valid": float(valid), "F1": f1, "inliers": inliers, "epi_error": epi}
+        if K1s is not None:
+            K1 = K1s[b]
+            K2 = np.asarray(batch["K2"][b])
+            E = K2.T @ models[b] @ K1
+            x1 = (p1 - K1[:2, 2]) / np.array([K1[0, 0], K1[1, 1]])
+            x2 = (p2 - K2[:2, 2]) / np.array([K2[0, 0], K2[1, 1]])
+            err_q, err_t = pose.evaluate_pose(
+                jnp.asarray(E), jnp.asarray(x1), jnp.asarray(x2),
+                jnp.asarray(batch["gt_R"][b]),
+                jnp.asarray(np.asarray(batch["gt_t"][b]).reshape(3)), svd=True)
+            res["err_pose"] = float(max(float(err_q), float(err_t)))
+        results.append(res)
     return results
 
 
@@ -144,10 +159,16 @@ def aggregate_fundamental(results: List[Dict[str, float]]) -> Dict[str, float]:
     f1 = float(np.mean([r["F1"] for r in ok])) if ok else 0.0
     inl = float(np.mean([r["inliers"] for r in ok])) if ok else 0.0
     epi = [r["epi_error"] for r in ok]
-    return {
+    out = {
         "F1": f1,
         "inlier_ratio": inl,
         "mean_epi_error": float(np.mean(epi)) if epi else float("nan"),
         "median_epi_error": float(np.median(epi)) if epi else float("nan"),
         "valid_fraction": len(ok) / max(len(results), 1),
     }
+    poses = [r["err_pose"] for r in results if "err_pose" in r]
+    if poses:
+        aucs = metrics.auc(poses, thresholds=(5, 10, 20))
+        out.update({"AUC@5": aucs[0], "AUC@10": aucs[1], "AUC@20": aucs[2],
+                    "median_pose_error": float(np.median(poses))})
+    return out

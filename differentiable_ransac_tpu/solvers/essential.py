@@ -32,6 +32,7 @@ correspondences ``(x1, y1, x2, y2)`` in calibrated (K-normalized) coords.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from differentiable_ransac_tpu.ops.linalg import (
@@ -194,7 +195,19 @@ def essential_5pt_nister(
     # Normalize the coefficient scale (roots unchanged): degenerate samples
     # can shrink the whole polynomial to ~1e-20, which breaks relative
     # tolerances in the root solver's implicit backward pass.
-    poly = poly / (jnp.max(jnp.abs(poly)) + 1e-300)
+    #
+    # stop_gradient on the normalizer: roots are invariant to a common
+    # coefficient scaling, so the quotient-rule term through the max() is
+    # exactly zero at a root (Σ_k (∂z/∂c_k)·c_k = −p(z)/p'(z) = 0) — but
+    # computing it multiplies root cotangents by 1/scale (up to ~1e250 on
+    # collapsed lanes) before the cancellation, overflowing f64 and NaN-ing
+    # the whole logit gradient (observed on TPU only: its f32 eigh seeds
+    # pick different near-degenerate samples than CPU's). The floor bounds
+    # 1/scale for the forward division itself.
+    poly_scale = jax.lax.stop_gradient(
+        jnp.maximum(jnp.max(jnp.abs(poly)), jnp.sqrt(jnp.finfo(dtype).tiny))
+    )
+    poly = poly / poly_scale
 
     roots, root_valid = aberth_roots(poly[None, :])  # (1, 10)
     z = roots[0]
@@ -218,6 +231,15 @@ def essential_5pt_nister(
     inv_det = 1.0 / jnp.where(det_ok, det2, 1.0)
     x = (a22 * b1 - a12 * b2) * inv_det
     y = (a11 * b2 - a12 * b1) * inv_det
+    # Genuine solutions have O(1) coordinates over the orthonormal basis (E
+    # is later normalized by √(x²+y²+z²+1)); astronomically scaled (x, y)
+    # only arise from catastrophic cancellation in det2 on degenerate
+    # samples. Clamp + invalidate them so their magnitudes can't amplify
+    # backward-pass cotangents into overflow.
+    xy_ok = (jnp.abs(x) < 1e6) & (jnp.abs(y) < 1e6)
+    det_ok = det_ok & xy_ok
+    x = jnp.clip(jnp.where(jnp.isfinite(x), x, 0.0), -1e6, 1e6)
+    y = jnp.clip(jnp.where(jnp.isfinite(y), y, 0.0), -1e6, 1e6)
 
     # --- compose E from the null-space basis ------------------------------
     B = ns.T  # (4, 9): rows are basis vectors [B0, B1, B2, B3]

@@ -138,6 +138,189 @@ def run_reference(folder: str, args):
     return out, (scene_f1s if args.fmat else max_errors), est_models
 
 
+def generate_rigid_records(folder: str, n_scenes: int, nf: int, noise: float,
+                           outliers: float, seed0: int):
+    from differentiable_ransac_tpu.data.datasets import (
+        write_synthetic_rigid_record,
+    )
+
+    os.makedirs(folder, exist_ok=True)
+    for i in range(n_scenes):
+        write_synthetic_rigid_record(
+            os.path.join(folder, f"scan_{i:04d}.npz"),
+            n_points=nf, seed=seed0 + i, noise=noise, outlier_ratio=outliers,
+        )
+
+
+def run_reference_rigid(folder: str, args):
+    """The reference's 3D pipeline (torch CPU) driven through its own
+    components: ``Dataset3D`` → ``GumbelSoftmaxSampler`` →
+    ``RigidTransformationSVDBasedSolver`` → residual scoring → refit.
+
+    The reference's first-party 3D path is unrunnable/broken as shipped,
+    in three independent ways:
+
+    1. ``RANSAC3D``'s test branch references undefined ``scores`` /
+       ``inlier_masks`` (the scoring call is commented out,
+       ``/root/reference/ransac.py:387-390``); its intended eval hands off
+       to ``pymagsac`` (absent here).
+    2. ``estimate_model``'s default ``flag=True`` takes
+       ``svd(covᵀ·cov)`` (``rigid_…_solver.py:51-52``) — for ``covᵀcov =
+       V S² Vᵀ`` this yields ``R = V Vᵀ = I``: every hypothesis carries an
+       identity rotation.
+    3. Even with ``flag=False``, the composed model stores ``R`` in the
+       transposed convention relative to its own ``squared_residual``
+       (``t = −Rᵀc₀ + c₁`` at ``:66`` implies ``p₂ = Rᵀp₁ + t``, but
+       ``squared_residual`` applies ``R p₁ + t``, ``:84-89``).
+
+    This driver therefore reports TWO reference variants: ``as shipped``
+    (defaults, scoring repaired to the inlier count the commented-out line
+    implies) and ``repaired`` (``flag=False`` + transposed composition, the
+    solver the reference evidently intended). Metrics are the reference's
+    own ``registration_utils``. The paper's 3D numbers come from pymagsac,
+    not this solver (``test_magsac_point.py:46-53``).
+    """
+    sys.path.insert(0, REFERENCE)
+    import torch
+    from datasets import Dataset3D
+    from estimators.rigid_transformation_SVD_based_solver import (
+        RigidTransformationSVDBasedSolver,
+    )
+    from samplers.gumbel_sampler import GumbelSoftmaxSampler
+    from registration_utils import compute_registration_error
+
+    est = RigidTransformationSVDBasedSolver(device="cpu")
+    sampler = GumbelSoftmaxSampler(64, 3, device="cpu",
+                                   data_type=torch.float32)
+    ds = Dataset3D([folder + "/"], num=args.nf)
+    loader = torch.utils.data.DataLoader(ds, batch_size=1, shuffle=False)
+
+    def solve(minimal, repaired):
+        models, R, t, _ = est.estimate_model(minimal, flag=not repaired)
+        if repaired and models.shape[0] > 0:
+            fixed = models.clone()
+            fixed[:, :3, :3] = models[:, :3, :3].transpose(-1, -2)
+            models = fixed
+        return models
+
+    variants = {"as shipped": False, "repaired": True}
+    outs, rmse_map, model_map = {}, {}, {}
+    for vname, repaired in variants.items():
+        rres, rtes, rmses, est_models = [], [], [], []
+        search_time = 0.0
+        with torch.no_grad():
+            for td in loader:
+                matches = td["correspondences"][0].float()  # (N, 7)
+                pts = matches[:, :6]
+                gt = td["gt_pose"][0].numpy()
+                logits = torch.zeros(pts.shape[0])
+                t0 = time.perf_counter()
+                best_score, best_model, best_mask = -1, torch.eye(4), None
+                iterations = 0
+                while iterations < args.rigid_iterations:
+                    samples, _ = sampler.sample(logits)
+                    sel = pts.repeat([samples.shape[0], 1, 1]) * samples.unsqueeze(-1)
+                    minimal = sel[samples != 0].view(samples.shape[0], -1, 6)
+                    models = solve(minimal, repaired)
+                    if models.shape[0] == 0:
+                        iterations += samples.shape[0]
+                        continue
+                    _, _, masks = est.squared_residual(
+                        pts[:, :3], pts[:, 3:],
+                        models[:, :3, :].transpose(-1, -2), threshold=0.03)
+                    scores = masks.sum(-1)
+                    bi = torch.argmax(scores)
+                    if float(scores[bi]) > best_score:
+                        best_score = float(scores[bi])
+                        best_model = models[bi]
+                        best_mask = masks[bi]
+                    iterations += samples.shape[0]
+                if best_mask is not None and best_mask.sum() >= 3:
+                    inl = pts[best_mask.nonzero(as_tuple=True)[0]].unsqueeze(0)
+                    refit = solve(inl, repaired)
+                    if refit.shape[0] > 0:
+                        _, _, m2 = est.squared_residual(
+                            pts[:, :3], pts[:, 3:],
+                            refit[:, :3, :].transpose(-1, -2), threshold=0.03)
+                        if float(m2[0].sum()) >= best_score:
+                            best_model = refit[0]
+                search_time += time.perf_counter() - t0
+                estT = best_model.numpy()
+                rre, rte = compute_registration_error(gt, estT)
+                src = pts[:, :3].numpy()
+                rmse = float(np.sqrt(np.mean(np.sum(
+                    ((src @ gt[:3, :3].T + gt[:3, 3])
+                     - (src @ estT[:3, :3].T + estT[:3, 3])) ** 2, axis=1))))
+                rres.append(rre); rtes.append(rte); rmses.append(rmse)
+                est_models.append(estT)
+        outs[vname] = {
+            "RRE_deg": float(np.mean(rres)),
+            "RTE": float(np.mean(rtes)),
+            "RMSE": float(np.mean(rmses)),
+            "recall@0.2": float(np.mean(np.asarray(rmses) < 0.2)),
+            "search_s_per_pair": search_time / len(rres),
+        }
+        rmse_map[vname] = rmses
+        model_map[vname] = est_models
+    sys.path.remove(REFERENCE)
+    return outs, rmse_map["repaired"], model_map["repaired"]
+
+
+def run_ours_rigid(folder: str, args):
+    """This framework's 3D pipeline (``eval_point.py`` semantics, uniform
+    weights) on the same records."""
+    import jax
+    import jax.numpy as jnp
+
+    from differentiable_ransac_tpu.config import (
+        ModelKind, RansacConfig, SamplerKind,
+    )
+    from differentiable_ransac_tpu.data.datasets import ThreeDRecords
+    from differentiable_ransac_tpu.engine import ransac_test
+    from differentiable_ransac_tpu.ops import metrics as M
+
+    rcfg = RansacConfig(model=ModelKind.RIGID, sampler=SamplerKind.GUMBEL,
+                        threshold=0.03, max_iterations=args.rigid_iterations)
+    ds = ThreeDRecords([folder + "/"], num=args.nf)
+
+    @jax.jit
+    def infer(corr, key):
+        keys = jax.random.split(key, corr.shape[0])
+        return jax.vmap(
+            lambda p, k: ransac_test(rcfg, p[:, :6],
+                                     jnp.zeros(p.shape[0], p.dtype), k)
+        )(corr, keys)
+
+    rres, rtes, rmses, est_models = [], [], [], []
+    search_time = 0.0
+    warmed = False
+    for batch in ds.batches(args.batch_size, drop_last=False):
+        corr = jnp.asarray(batch["correspondences"])
+        if not warmed:
+            jax.block_until_ready(infer(corr, jax.random.PRNGKey(0))[0])
+            warmed = True
+        t0 = time.perf_counter()
+        models, masks, scores, iters = infer(corr, jax.random.PRNGKey(0))
+        jax.block_until_ready(models)
+        search_time += time.perf_counter() - t0
+        models = np.asarray(models)
+        for b in range(models.shape[0]):
+            gt = np.asarray(batch["gt_pose"][b])
+            rre, rte = M.compute_registration_error(gt, models[b])
+            src = np.asarray(batch["correspondences"][b][:, :3])
+            rmse = M.registration_rmse(src, gt, models[b])
+            rres.append(rre); rtes.append(rte); rmses.append(rmse)
+            est_models.append(models[b])
+    out = {
+        "RRE_deg": float(np.mean(rres)),
+        "RTE": float(np.mean(rtes)),
+        "RMSE": float(np.mean(rmses)),
+        "recall@0.2": float(np.mean(np.asarray(rmses) < 0.2)),
+        "search_s_per_pair": search_time / len(rres),
+    }
+    return out, rmses, est_models
+
+
 def run_ours(folder: str, args):
     """This framework's eval pipeline with the SAME (imported) weights."""
     import jax
@@ -205,6 +388,13 @@ def main():
     ap.add_argument("--outliers", type=float, default=0.4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--fmat", type=int, default=0)
+    ap.add_argument("--rigid", type=int, default=0,
+                    help="1: 3D rigid-registration parity (RRE/RTE/RMSE/"
+                         "recall) instead of E/F")
+    ap.add_argument("--rigid_iterations", type=int, default=2048,
+                    help="fixed hypothesis budget for BOTH sides in rigid "
+                         "mode (the ref's adaptive path is unrunnable, so "
+                         "equal budgets keep the comparison fair)")
     ap.add_argument("--threshold", type=float, default=2.0)
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--ckpt", default=os.path.join(
@@ -234,10 +424,36 @@ def main():
         folder = args.data_dir
     else:
         folder = tempfile.mkdtemp(prefix="parity_")
-        generate_records(folder, args.scenes, args.nf, args.noise,
-                         args.outliers, args.seed)
+        gen = generate_rigid_records if args.rigid else generate_records
+        gen(folder, args.scenes, args.nf, args.noise,
+            args.outliers, args.seed)
     print(f"records: {folder} ({args.scenes} scenes, nf={args.nf}, "
-          f"noise={args.noise}px, outliers={args.outliers})")
+          f"noise={args.noise}{'' if args.rigid else 'px'}, "
+          f"outliers={args.outliers})")
+
+    if args.rigid:
+        ours, our_errs, our_models = run_ours_rigid(folder, args)
+        print("ours     :", {k: round(v, 4) for k, v in ours.items()})
+        refs = {}
+        if not args.skip_reference:
+            refs, ref_errs, ref_models = run_reference_rigid(folder, args)
+            for vn, r in refs.items():
+                print(f"reference ({vn}):", {k: round(v, 4) for k, v in r.items()})
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write(f"\n### rigid 3D, {args.scenes} scenes, nf={args.nf},"
+                        f" noise={args.noise}, outliers={args.outliers}, "
+                        f"H={args.rigid_iterations}, seed={args.seed}\n\n")
+                keys = sorted(ours)
+                f.write("| metric | ref (as shipped) | ref (repaired) "
+                        "| this framework |\n|---|---|---|---|\n")
+                for k in keys:
+                    r1 = (f"{refs['as shipped'][k]:.4f}"
+                          if "as shipped" in refs else "—")
+                    r2 = (f"{refs['repaired'][k]:.4f}"
+                          if "repaired" in refs else "—")
+                    f.write(f"| {k} | {r1} | {r2} | {ours[k]:.4f} |\n")
+        return 0
 
     ours, our_errs, our_models = run_ours(folder, args)
     print("ours     :", {k: round(v, 4) for k, v in ours.items()})
