@@ -112,6 +112,11 @@ class RansacConfig:
     # 2 = f64 (accurate; default), 1 = f32 (faster compile/run, 2-3 digits
     # looser — the reference's torch-f32 accuracy class).
     solver_precision: int = 2
+    # Degree-10 real-root backend of the 5PC solver: "aberth" (simultaneous
+    # iteration, default, also finds complex roots) or "sturm" (Sturm
+    # isolation + cumulative-count bisection — guaranteed bracketing; the
+    # reference's StrumPolynomialSolver capability, math_utils.py:111-501).
+    root_solver: str = "aberth"
     # Use the fused Pallas MSAC kernel for scoring in fixed-budget search
     # (TPU only; forward-only paths).
     use_pallas_scoring: bool = False

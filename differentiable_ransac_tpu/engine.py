@@ -76,7 +76,8 @@ def _minimal_solver(cfg: RansacConfig):
             return solve
 
         def solve5(sample, weights=None):
-            return essential_5pt_nister(sample, weights, solve_dtype=solve_dtype)
+            return essential_5pt_nister(sample, weights, solve_dtype=solve_dtype,
+                                        root_solver=cfg.root_solver)
 
         return solve5
     if cfg.model == ModelKind.FUNDAMENTAL:

@@ -147,6 +147,31 @@ def cubic_roots(c: jnp.ndarray, eps: float = 1e-12):
     return roots, valid
 
 
+def _monic_fujiwara_scaled(coeffs: jnp.ndarray):
+    """Monic-normalize and variable-rescale so all roots lie in |y| ≤ 2.
+
+    Keeps every Horner intermediate O(1) — mandatory for fp32 (an unscaled
+    degree-10 evaluation at the Cauchy radius overflows). Fujiwara-style
+    bound: ``alpha = max_k |c_{D-k}/c_D|^{1/k}`` ⇒ roots of
+    ``q(y) = p(alpha·y)`` satisfy ``|y| ≤ 2`` and ``|q_k/q_D| ≤ 1``.
+
+    Returns:
+        (q (..., D+1) ascending monic-scaled coefficients, alpha (...,),
+        lead_ok (...,) bool). True roots are ``alpha · y``.
+    """
+    d = coeffs.shape[-1] - 1
+    lead = coeffs[..., -1]
+    lead_ok = jnp.abs(lead) > 1e-30
+    safe_lead = jnp.where(lead_ok, lead, 1.0)
+    monic = coeffs / safe_lead[..., None]
+    exponents = 1.0 / jnp.arange(d, 0, -1, dtype=monic.dtype)  # k = 0..D-1
+    alpha = jnp.max(jnp.abs(monic[..., :-1]) ** exponents, axis=-1)
+    alpha = jnp.clip(alpha, 1e-3, 1e3)
+    # q_k = monic_k · alpha^(k−D); |q_k| ≤ 1 by construction of alpha.
+    powers = alpha[..., None] ** jnp.arange(-d, 1, dtype=monic.dtype)
+    return monic * powers, alpha, lead_ok
+
+
 def _aberth_roots_impl(
     coeffs: jnp.ndarray,
     iters: int = 40,
@@ -181,23 +206,7 @@ def _aberth_roots_impl(
     # TPU has no complex dtype support: complex arithmetic is carried as
     # explicit (re, im) float pairs — pure VPU math.
     d = coeffs.shape[-1] - 1
-    c = coeffs
-    lead = c[..., -1]
-    lead_ok = jnp.abs(lead) > 1e-30
-    safe_lead = jnp.where(lead_ok, lead, 1.0)
-    monic = c / safe_lead[..., None]
-
-    # Rescale the variable so every root lies in ~the unit disk, keeping all
-    # Horner intermediates O(1) — mandatory for fp32 (an unscaled degree-10
-    # evaluation at the Cauchy radius overflows). Fujiwara-style bound:
-    # alpha = max_k |c_{D-k}/c_D|^{1/k}  ⇒  roots of q(y) = p(alpha·y) have
-    # |y| ≤ 2 and |q_k/q_D| ≤ 1.
-    exponents = 1.0 / jnp.arange(d, 0, -1, dtype=monic.dtype)  # for k = 0..D-1
-    alpha = jnp.max(jnp.abs(monic[..., :-1]) ** exponents, axis=-1)
-    alpha = jnp.clip(alpha, 1e-3, 1e3)
-    # q_k = monic_k · alpha^(k−D); |q_k| ≤ 1 by construction of alpha.
-    powers = alpha[..., None] ** jnp.arange(-d, 1, dtype=monic.dtype)
-    monic = monic * powers
+    monic, alpha, lead_ok = _monic_fujiwara_scaled(coeffs)
 
     # Initial guesses: roots of unity at radius 0.7, slightly rotated to
     # break symmetry with real-coefficient conjugate pairs.
@@ -285,10 +294,9 @@ def _aberth_fwd(iters, newton_polish, real_tol, coeffs):
     return (roots, valid), (coeffs, roots, valid)
 
 
-def _aberth_bwd(iters, newton_polish, real_tol, res, cots):
-    coeffs, roots, valid = res
-    droots, _dvalid = cots
-    d = roots.shape[-1]
+def _implicit_root_cotangent(coeffs, roots, valid, droots):
+    """Shared implicit-differentiation backward for any converged real-root
+    finder: a root satisfies ``p(z; c) = 0`` ⇒ ``∂z/∂c_k = −z^k / p'(z)``."""
     # Invalid slots can hold ±inf/NaN roots; every use below must see a
     # finite placeholder or the masked-out lanes still poison the sums
     # (0·inf = NaN).
@@ -312,19 +320,74 @@ def _aberth_bwd(iters, newton_polish, real_tol, res, cots):
     for k in range(coeffs.shape[-1]):
         dc.append(jnp.sum(sens * zp, axis=-1))
         zp = zp * roots
-    return (jnp.stack(dc, axis=-1),)
+    return jnp.stack(dc, axis=-1)
+
+
+def _aberth_bwd(iters, newton_polish, real_tol, res, cots):
+    coeffs, roots, valid = res
+    droots, _dvalid = cots
+    return (_implicit_root_cotangent(coeffs, roots, valid, droots),)
 
 
 _aberth_vjp.defvjp(_aberth_fwd, _aberth_bwd)
+
+
+def _sturm_chain(coeffs: jnp.ndarray) -> jnp.ndarray:
+    """Batched Sturm chain of ``p``, zero-padded to a fixed-shape stack.
+
+    ``p_{k+1} = −rem(p_{k−1}, p_k)``; with degrees decreasing by exactly one
+    (generic case; degenerate remainders are scale-guarded) the remainder of
+    (deg n) by (deg n−1) is two elimination steps.
+
+    Args:
+        coeffs: (..., D+1) ascending coefficients.
+
+    Returns:
+        (..., D+1, D+1) — chain entry k holds the degree-(D−k) polynomial in
+        its first D+1−k slots (ascending), zero-padded.
+    """
+    d = coeffs.shape[-1] - 1
+    chain = [coeffs, polyder(coeffs)]
+    for _ in range(d - 1):
+        p_hi = chain[-2]  # (..., n+1) degree n
+        p_lo = chain[-1]  # (..., n)   degree n-1
+        lead_lo = p_lo[..., -1]
+        safe = jnp.where(jnp.abs(lead_lo) > 1e-300, lead_lo, 1.0)[..., None]
+        q1 = p_hi[..., -1:] / safe  # x-term quotient
+        t = p_hi[..., :-1] - q1 * jnp.concatenate(
+            [jnp.zeros_like(p_lo[..., :1]), p_lo[..., :-1]], axis=-1
+        )
+        q0 = t[..., -1:] / safe
+        r = t[..., :-1] - q0 * p_lo[..., :-1]
+        chain.append(-r)
+    pad = [
+        jnp.concatenate(
+            [p, jnp.zeros(p.shape[:-1] + (d + 1 - p.shape[-1],), p.dtype)], axis=-1
+        )
+        for p in chain
+    ]
+    return jnp.stack(pad, axis=-2)
+
+
+def _chain_sign_changes(chain: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Sign-change counts of a Sturm ``chain`` (..., K, C) at ``x`` (..., P)."""
+    v = polyval(chain[..., :, None, :], x[..., None, :])  # (..., K, P)
+    s = jnp.where(v > 0, 1, jnp.where(v < 0, -1, 0))
+    flips = jnp.zeros(s.shape[:-2] + s.shape[-1:], jnp.int32)
+    prev = s[..., 0, :]
+    for k in range(1, s.shape[-2]):
+        cur = s[..., k, :]
+        effective = jnp.where(cur == 0, prev, cur)
+        flips = flips + (effective * prev < 0).astype(jnp.int32)
+        prev = effective
+    return flips
 
 
 def sturm_sign_changes(coeffs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Number of sign changes of the Sturm chain of ``p`` at points ``x``.
 
     Fixed-shape Sturm machinery (the reference re-implements graph-cut
-    RANSAC's Sturm solver in Python loops, ``math_utils.py:111-501``): the
-    chain is built by synthetic polynomial division with degrees decreasing
-    by exactly one (generic case; degenerate remainders are scale-guarded).
+    RANSAC's Sturm solver in Python loops, ``math_utils.py:111-501``).
     ``count(a) − count(b)`` is the number of real roots in ``(a, b]``.
 
     Args:
@@ -334,39 +397,109 @@ def sturm_sign_changes(coeffs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     Returns:
         (...,) int32 sign-change counts.
     """
-    d = coeffs.shape[-1] - 1
-    chain = [coeffs, polyder(coeffs)]
-    # p_{k+1} = -rem(p_{k-1}, p_k); with deg decreasing by 1, the remainder
-    # of (deg n) by (deg n-1) is computed with two elimination steps.
-    for k in range(d - 1):
-        p_hi = chain[-2]  # (n+1,) degree n
-        p_lo = chain[-1]  # (n,)   degree n-1
-        n = p_hi.shape[-1] - 1
-        lead_lo = p_lo[-1]
-        safe = jnp.where(jnp.abs(lead_lo) > 1e-300, lead_lo, 1.0)
-        q1 = p_hi[-1] / safe  # x-term quotient
-        t = p_hi[:-1] - q1 * jnp.concatenate([jnp.zeros((1,), p_hi.dtype), p_lo[:-1]])
-        q0 = t[-1] / safe
-        r = t[:-1] - q0 * p_lo[:-1]
-        chain.append(-r)
-    # evaluate the chain and count sign flips
-    signs = []
-    for p in chain:
-        v = polyval(p, x)
-        signs.append(jnp.where(v > 0, 1, jnp.where(v < 0, -1, 0)))
-    flips = jnp.zeros(x.shape, jnp.int32)
-    prev = signs[0]
-    for s in signs[1:]:
-        effective = jnp.where(s == 0, prev, s)
-        flips = flips + (effective * prev < 0).astype(jnp.int32)
-        prev = effective
-    return flips
+    chain = _sturm_chain(coeffs)
+    flat = jnp.reshape(x, (-1,))
+    return _chain_sign_changes(chain, flat).reshape(jnp.shape(x))
 
 
 def sturm_count_real_roots(coeffs: jnp.ndarray, lo: float, hi: float) -> jnp.ndarray:
     """Number of distinct real roots of ``p`` in (lo, hi]."""
     counts = sturm_sign_changes(coeffs, jnp.asarray([lo, hi], coeffs.dtype))
     return counts[0] - counts[1]
+
+
+def _sturm_bisect_impl(coeffs: jnp.ndarray, iters: int, newton_polish: int):
+    d = coeffs.shape[-1] - 1
+    q, alpha, lead_ok = _monic_fujiwara_scaled(coeffs)
+    chain = _sturm_chain(q)
+    radius = 2.0 + 1e-6  # Fujiwara: all roots of q lie in |y| ≤ 2
+    ends = jnp.stack(
+        [jnp.full(q.shape[:-1], -radius, q.dtype), jnp.full(q.shape[:-1], radius, q.dtype)],
+        axis=-1,
+    )
+    s_ends = _chain_sign_changes(chain, ends)  # (..., 2)
+    s_left = s_ends[..., 0]
+    total = s_left - s_ends[..., 1]  # distinct real roots in (−R, R]
+    target = jnp.arange(1, d + 1)  # slot i hunts the (i+1)-th root
+    valid = target <= total[..., None]
+
+    lo = jnp.full(q.shape[:-1] + (d,), -radius, q.dtype)
+    hi = jnp.full_like(lo, radius)
+
+    def body(carry, _):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        # cumulative count N(mid) = #roots in (−R, mid]: nondecreasing in
+        # mid, so bisection on N(mid) ≥ target brackets the target root.
+        n_mid = s_left[..., None] - _chain_sign_changes(chain, mid)
+        go_left = n_mid >= target
+        return (jnp.where(go_left, lo, mid), jnp.where(go_left, mid, hi)), None
+
+    (lo, hi), _ = jax.lax.scan(body, (lo, hi), None, length=iters)
+    y = 0.5 * (lo + hi)
+
+    # Bracket-guarded Newton polish against the scaled polynomial.
+    tiny = float(jnp.finfo(q.dtype).tiny) * 1e4
+    qd = polyder(q)
+    for _ in range(newton_polish):
+        f = polyval(q[..., None, :], y)
+        fp = polyval(qd[..., None, :], y)
+        ok = jnp.abs(fp) > tiny
+        y_new = y - jnp.where(ok, f / jnp.where(ok, fp, 1.0), 0.0)
+        y = jnp.where((y_new >= lo) & (y_new <= hi), y_new, y)
+
+    roots = y * alpha[..., None]
+    valid = valid & lead_ok[..., None] & jnp.isfinite(roots)
+    return jnp.where(valid, roots, 0.0), valid
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _sturm_bisect_vjp(iters, newton_polish, coeffs):
+    return _sturm_bisect_impl(coeffs, iters, newton_polish)
+
+
+def _sturm_bisect_fwd(iters, newton_polish, coeffs):
+    roots, valid = _sturm_bisect_impl(coeffs, iters, newton_polish)
+    return (roots, valid), (coeffs, roots, valid)
+
+
+def _sturm_bisect_bwd(iters, newton_polish, res, cots):
+    coeffs, roots, valid = res
+    droots, _dvalid = cots
+    return (_implicit_root_cotangent(coeffs, roots, valid, droots),)
+
+
+_sturm_bisect_vjp.defvjp(_sturm_bisect_fwd, _sturm_bisect_bwd)
+
+
+def sturm_bisect_roots(coeffs: jnp.ndarray, iters: int = 60, newton_polish: int = 3):
+    """All real roots of batched polynomials via Sturm isolation + bisection.
+
+    The reference's ``StrumPolynomialSolver`` / ``StrumPolynomialSolverBatch``
+    capability (recursive interval isolation + Ridders/Newton polishing,
+    ``/root/reference/math_utils.py:111-291,294-501``) redesigned as a
+    branch-free fixed-shape TPU program: instead of a data-dependent
+    worklist of isolating intervals, slot ``i`` bisects the *cumulative
+    root-count function* ``N(x) = count(−R) − count(x)`` (nondecreasing,
+    Sturm-exact) to the unique point where it first reaches ``i+1`` — the
+    (i+1)-th real root in ascending order. Guaranteed bracketing, no
+    isolation recursion, identical work per lane ⇒ perfectly vmappable.
+
+    ``aberth_roots`` supersedes this in speed (it also finds complex roots);
+    this is the guaranteed-real-root fallback and the validation oracle.
+    Differentiation is the same implicit-function VJP as Aberth's.
+
+    Args:
+        coeffs: (..., D+1) ascending real coefficients.
+        iters: bisection iterations (60 ⇒ interval ≤ 4·2⁻⁶⁰, f64-exact).
+        newton_polish: bracket-guarded Newton steps afterwards.
+
+    Returns:
+        (roots (..., D), valid (..., D) bool) — ascending real roots in the
+        first ``total`` slots; invalid slots hold 0. Multiple roots are
+        reported once (Sturm counts distinct roots).
+    """
+    return _sturm_bisect_vjp(iters, newton_polish, coeffs)
 
 
 def aberth_roots(

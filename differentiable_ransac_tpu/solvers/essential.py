@@ -40,7 +40,12 @@ from differentiable_ransac_tpu.ops.linalg import (
     null_space_from_gram,
     project_to_essential,
 )
-from differentiable_ransac_tpu.ops.polynomial import aberth_roots, polymul, polyval
+from differentiable_ransac_tpu.ops.polynomial import (
+    aberth_roots,
+    polymul,
+    polyval,
+    sturm_bisect_roots,
+)
 
 SAMPLE_SIZE = 5
 SOLUTIONS = 10
@@ -112,6 +117,7 @@ def essential_5pt_nister(
     matches: jnp.ndarray,
     weights: jnp.ndarray | None = None,
     solve_dtype=jnp.float64,
+    root_solver: str = "aberth",
 ):
     """Nistér 5PC for a single minimal sample.
 
@@ -125,6 +131,10 @@ def essential_5pt_nister(
         matches: (5, 4) calibrated correspondences.
         weights: optional (5,) row weights.
         solve_dtype: dtype of the solver core.
+        root_solver: degree-10 real-root backend — "aberth" (simultaneous
+            iteration, default, fast) or "sturm" (isolation + bisection,
+            guaranteed bracketing; the reference's StrumPolynomialSolver
+            capability, ``math_utils.py:111-501``).
 
     Returns:
         (models (10, 3, 3), valid (10,) bool). Invalid slots are identity.
@@ -209,7 +219,10 @@ def essential_5pt_nister(
     )
     poly = poly / poly_scale
 
-    roots, root_valid = aberth_roots(poly[None, :])  # (1, 10)
+    if root_solver == "sturm":
+        roots, root_valid = sturm_bisect_roots(poly[None, :])  # (1, 10)
+    else:
+        roots, root_valid = aberth_roots(poly[None, :])  # (1, 10)
     z = roots[0]
     root_valid = root_valid[0]
     # No non-finite primal may flow on (inf primals NaN the backward pass of

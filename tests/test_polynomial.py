@@ -4,6 +4,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from differentiable_ransac_tpu.ops.polynomial import (
+    sturm_bisect_roots,
     aberth_roots,
     cubic_roots,
     polymul,
@@ -119,3 +120,73 @@ def test_aberth_random_batch():
         # every true real root is found
         for w in want:
             assert np.min(np.abs(got - w)) < 5e-3 * (1 + abs(w)), (i, want, got)
+
+
+# --- Sturm isolation + bisection (the reference's StrumPolynomialSolver /
+# StrumPolynomialSolverBatch capability, math_utils.py:111-501) -------------
+
+def test_sturm_bisect_exact_real_roots():
+    rng = np.random.default_rng(7)
+    for _ in range(8):
+        n_real = int(rng.integers(0, 6)) * 2
+        real_roots = np.sort(rng.uniform(-3, 3, n_real))
+        pairs = [np.array([a + 1j * b, a - 1j * b])
+                 for a, b in rng.uniform(0.5, 2, ((10 - n_real) // 2, 2))]
+        allr = np.concatenate([real_roots] + [p for p in pairs]) if pairs \
+            else real_roots
+        c = np.poly(allr)[::-1].real.copy()
+        roots, valid = sturm_bisect_roots(jnp.asarray(c[None], jnp.float64))
+        got = np.sort(np.asarray(roots)[0][np.asarray(valid)[0]])
+        assert len(got) == len(real_roots)
+        if len(got):
+            np.testing.assert_allclose(got, real_roots, atol=1e-8)
+
+
+def test_sturm_bisect_random_batch_matches_numpy():
+    rng = np.random.default_rng(8)
+    cs = rng.normal(size=(16, 11))
+    roots, valid = sturm_bisect_roots(jnp.asarray(cs))
+    roots, valid = np.asarray(roots), np.asarray(valid)
+    for i in range(16):
+        want = _np_real_roots(cs[i], tol=1e-9)
+        got = np.sort(roots[i][valid[i]])
+        assert len(got) == len(want), (i, want, got)
+        if len(want):
+            np.testing.assert_allclose(got, want, atol=1e-7)
+
+
+def test_sturm_bisect_agrees_with_aberth():
+    """Cross-validation: the two independent root finders agree on the
+    real-root set of Nistér-style degree-10 polynomials."""
+    rng = np.random.default_rng(9)
+    cs = rng.normal(size=(16, 11))
+    rs, vs = sturm_bisect_roots(jnp.asarray(cs))
+    ra, va = aberth_roots(jnp.asarray(cs))
+    for i in range(16):
+        sturm_set = np.sort(np.asarray(rs)[i][np.asarray(vs)[i]])
+        ab = np.asarray(ra)[i][np.asarray(va)[i]]
+        for w in sturm_set:  # every Sturm (= true) real root is in Aberth's
+            assert np.min(np.abs(ab - w)) < 1e-5 * (1 + abs(w))
+
+
+def test_sturm_bisect_implicit_gradient():
+    import jax
+
+    rng = np.random.default_rng(10)
+    C = np.stack([np.poly(np.sort(rng.uniform(-2, 2, 4)))[::-1]
+                  for _ in range(4)])
+
+    def f_sturm(c):
+        r, v = sturm_bisect_roots(c)
+        return jnp.sum(jnp.where(v, r, 0.0) ** 2)
+
+    def f_aberth(c):
+        r, v = aberth_roots(c)
+        return jnp.sum(jnp.where(v, r, 0.0) ** 2)
+
+    g = jax.grad(f_sturm)(jnp.asarray(C))
+    ga = jax.grad(f_aberth)(jnp.asarray(C))
+    assert bool(jnp.all(jnp.isfinite(g)))
+    # same implicit-function VJP ⇒ same gradients where both find the roots
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ga),
+                               rtol=1e-4, atol=1e-6)

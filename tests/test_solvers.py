@@ -201,3 +201,23 @@ def test_rigid_differentiable():
 
     g = jax.grad(loss)(jnp.asarray(p["points"]))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_essential_5pt_sturm_backend_matches_aberth(seed):
+    """root_solver="sturm" (Sturm isolation + bisection) recovers GT and
+    yields the same real-solution set as the default Aberth backend."""
+    p = two_view_problem(n_points=5, seed=seed)
+    m = jnp.asarray(p["matches"])
+    ms, vs = essential_5pt_nister(m, root_solver="sturm")
+    ma, va = essential_5pt_nister(m, root_solver="aberth")
+    ms, vs = np.asarray(ms), np.asarray(vs)
+    ma, va = np.asarray(ma), np.asarray(va)
+    assert vs.any()
+    dists = [_model_distance(mm, p["E"]) for mm, v in zip(ms, vs) if v]
+    assert min(dists) < 5e-3, (seed, min(dists))
+    # every sturm solution appears in the aberth set (both E and -E match
+    # the same model after Frobenius normalization)
+    for mm, v in zip(ms, vs):
+        if v:
+            assert min(_model_distance(mm, a) for a, av in zip(ma, va) if av) < 1e-5
