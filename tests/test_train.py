@@ -86,7 +86,10 @@ def test_train_step_loss_decreases_overfitting():
         state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
-    assert min(losses[4:]) <= losses[0] + 0.05  # no blow-up; usually decreases
+    # strict decrease: the best late-phase loss must beat the first step
+    # (per-step noise from resampled hypothesis keys is real, so compare
+    # min-over-tail, not last-vs-first)
+    assert min(losses[4:]) < losses[0]
 
 
 def test_train_step_fundamental_mode():
