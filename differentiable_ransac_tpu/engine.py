@@ -75,9 +75,14 @@ def _minimal_solver(cfg: RansacConfig):
 
             return solve
 
+        draft = cfg.solver_precision < 2  # draft budget only for the f32 core
+
         def solve5(sample, weights=None):
-            return essential_5pt_nister(sample, weights, solve_dtype=solve_dtype,
-                                        root_solver=cfg.root_solver)
+            return essential_5pt_nister(
+                sample, weights, solve_dtype=solve_dtype,
+                root_solver=cfg.root_solver,
+                root_iters=cfg.draft_root_iters if draft else 0,
+                root_polish=cfg.draft_root_polish if draft else 0)
 
         return solve5
     if cfg.model == ModelKind.FUNDAMENTAL:
@@ -430,6 +435,19 @@ class _BestState(NamedTuple):
     key: jax.Array
 
 
+def _strict_cfg(cfg: RansacConfig) -> RansacConfig:
+    """Config whose scorer yields the STRICT (plain-threshold) inlier mask.
+
+    Used wherever an inlier *count* feeds the adaptive stopping bound
+    (``ransac.py:202-215`` semantics — the reference counts inliers at the
+    ``-t`` threshold). In MAGSAC mode the scoring mask is the σ-consensus
+    support (radius 3.64·σ_max), which would inflate the ratio and
+    terminate the search early.
+    """
+    return cfg if cfg.scoring != ScoringKind.MAGSAC else cfg.replace(
+        scoring=ScoringKind.MSAC)
+
+
 def _adaptive_iterations(cfg: RansacConfig, inlier_number, point_number):
     """log(1−conf)/log(1−ir^m) stopping criterion (``ransac.py:202-215``)."""
     ir = inlier_number / point_number
@@ -657,9 +675,16 @@ def ransac_test_fast(
         w = weights if weights is not None else jnp.zeros((chunk, m), points.dtype)
         merged_weights = jnp.concatenate([st.topk_weights, w])
 
-        # adaptive bound from the chunk-best model's full inlier count
+        # Adaptive bound from the chunk-best model's full inlier count.
+        # The count must be the STRICT (plain-threshold) support even in
+        # MAGSAC mode: the σ-consensus mask spans d < 3.64·σ_max, and
+        # feeding that inflated ratio into log(1−conf)/log(1−ir^m)
+        # terminates the search ~3× too early at high noise (measured:
+        # AUC@5 0.47 vs 0.63 on noise=2.5px/outliers=0.5 synthetics).
+        # σ-quality ranks models; it must not drive termination.
         chunk_best = flat32[jnp.argmax(sub_scores)]
-        _, mask1 = _score(cfg, points, chunk_best[None], threshold, point_mask)
+        _, mask1 = _score(_strict_cfg(cfg), points, chunk_best[None],
+                          threshold, point_mask)
         inl = jnp.sum(mask1[0]).astype(st.best_inliers.dtype)
         best_inliers = jnp.maximum(st.best_inliers, inl)
         bound = _adaptive_iterations(cfg, best_inliers, float(n)).astype(
@@ -774,7 +799,15 @@ def ransac_test(
                 lambda s: s,
                 new,
             )
-        bound = _adaptive_iterations(cfg, new.inliers, float(n)).astype(st.max_iters.dtype)
+        if cfg.scoring == ScoringKind.MAGSAC:
+            # Strict support for the stopping bound (see _strict_cfg);
+            # new.inliers holds the σ-expanded count in MAGSAC mode.
+            _, smask = _score(_strict_cfg(cfg), points, new.model[None],
+                              threshold, point_mask)
+            term_inliers = jnp.sum(smask[0]).astype(new.inliers.dtype)
+        else:
+            term_inliers = new.inliers
+        bound = _adaptive_iterations(cfg, term_inliers, float(n)).astype(st.max_iters.dtype)
         return new._replace(max_iters=jnp.minimum(new.max_iters, bound))
 
     final = jax.lax.while_loop(cond, body, init)

@@ -181,6 +181,38 @@ def test_ransac_test_fast_magsac_scoring():
     assert float(score) > 0
 
 
+def test_magsac_termination_uses_strict_inlier_count():
+    """The adaptive stopping bound must count STRICT (plain-threshold)
+    inliers even in MAGSAC mode.
+
+    The σ-consensus support spans d < 3.64·σ_max; counting it as "inliers"
+    inflates the ratio in log(1−conf)/log(1−ir^m) and stops the search ~3×
+    early at high noise (regression: noise=2.5px synthetics lost 0.16
+    AUC@5 vs MSAC before the fix). With the strict count, MAGSAC and MSAC
+    runs of the same problem must consume comparable iteration budgets —
+    σ-quality ranks models, it must not drive termination.
+    """
+    prob = two_view_problem(n_points=256, noise=2.0, outlier_ratio=0.5, seed=11)
+    pts = jnp.asarray(prob["matches"])
+    logits = jnp.zeros((256,), jnp.float32)
+    thr = jnp.asarray(2.0 / 1000.0, jnp.float32)
+    iters = {}
+    for kind in (ScoringKind.MSAC, ScoringKind.MAGSAC):
+        cfg = RansacConfig(model=ModelKind.ESSENTIAL,
+                           sampler=SamplerKind.GUMBEL,
+                           max_iterations=4096, scoring=kind)
+        _, _, _, it = jax.jit(
+            lambda p, l, k, cfg=cfg: ransac_test_fast(
+                cfg, p, l, k, threshold=thr, chunk=256, rescue_k=32)
+        )(pts, logits, jax.random.PRNGKey(3))
+        iters[kind] = int(it)
+    # identical strict-support-driven bounds => identical chunk counts up
+    # to one chunk of slack (the two modes may select different interim
+    # best models whose strict supports differ slightly)
+    assert abs(iters[ScoringKind.MAGSAC] - iters[ScoringKind.MSAC]) <= 512, iters
+    assert iters[ScoringKind.MAGSAC] >= 512, iters  # not a first-chunk bailout
+
+
 # ---------------------------------------------------------------------------
 # PROSAC ordering
 # ---------------------------------------------------------------------------
