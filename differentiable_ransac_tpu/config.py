@@ -117,6 +117,14 @@ class RansacConfig:
     # isolation + cumulative-count bisection — guaranteed bracketing; the
     # reference's StrumPolynomialSolver capability, math_utils.py:111-501).
     root_solver: str = "aberth"
+    # Aberth budget for the f32 DRAFT solver core (fast engines' prescreen
+    # pass; 0 = backend default 40 iters / 5 polish steps). Ranking only
+    # needs approximate roots — the carried top-k samples are re-solved at
+    # full f64 precision before selection — so a reduced draft budget
+    # trades zero final accuracy for solver throughput. Never applied to
+    # the f64 core.
+    draft_root_iters: int = 0
+    draft_root_polish: int = 0
     # Use the fused Pallas MSAC kernel for scoring in fixed-budget search
     # (TPU only; forward-only paths).
     use_pallas_scoring: bool = False

@@ -27,7 +27,8 @@ from differentiable_ransac_tpu.train import _prepare_pair_points
 
 
 def make_eval_step(model: CLNet, ransac_cfg: RansacConfig, prob_type: int = 2,
-                   fast: bool = True, prosac: bool = False):
+                   fast: bool = True, prosac: bool = False,
+                   chunk: int = 512, rescue_k: int = 64):
     """Jitted per-batch inference: weights → best models + masks + scores.
 
     ``fast=True`` (default) runs the mixed-precision adaptive search
@@ -46,7 +47,13 @@ def make_eval_step(model: CLNet, ransac_cfg: RansacConfig, prob_type: int = 2,
     from differentiable_ransac_tpu.samplers import prosac_logits_from_weights
 
     fmat = ransac_cfg.fmat
-    search = ransac_test_fast if fast else ransac_test
+    if fast:
+        def search(cfg, p, w, k, threshold=None, point_mask=None):
+            return ransac_test_fast(cfg, p, w, k, threshold=threshold,
+                                    point_mask=point_mask, chunk=chunk,
+                                    rescue_k=rescue_k)
+    else:
+        search = ransac_test
 
     @jax.jit
     def eval_step(params, batch_stats, batch, key):

@@ -118,6 +118,8 @@ def essential_5pt_nister(
     weights: jnp.ndarray | None = None,
     solve_dtype=jnp.float64,
     root_solver: str = "aberth",
+    root_iters: int = 0,
+    root_polish: int = 0,
 ):
     """Nistér 5PC for a single minimal sample.
 
@@ -135,6 +137,11 @@ def essential_5pt_nister(
             iteration, default, fast) or "sturm" (isolation + bisection,
             guaranteed bracketing; the reference's StrumPolynomialSolver
             capability, ``math_utils.py:111-501``).
+        root_iters: Aberth iteration budget override (0 = backend default).
+            A reduced "draft" budget is meant for f32 prescreen ranking in
+            the fast engines, where the carried winners are re-solved at
+            full precision afterwards. Ignored by the sturm backend.
+        root_polish: Newton-polish step override (0 = backend default).
 
     Returns:
         (models (10, 3, 3), valid (10,) bool). Invalid slots are identity.
@@ -222,7 +229,11 @@ def essential_5pt_nister(
     if root_solver == "sturm":
         roots, root_valid = sturm_bisect_roots(poly[None, :])  # (1, 10)
     else:
-        roots, root_valid = aberth_roots(poly[None, :])  # (1, 10)
+        roots, root_valid = aberth_roots(
+            poly[None, :],
+            iters=root_iters or 40,
+            newton_polish=root_polish or 5,
+        )  # (1, 10)
     z = roots[0]
     root_valid = root_valid[0]
     # No non-finite primal may flow on (inf primals NaN the backward pass of

@@ -30,7 +30,13 @@ def main():
     args = parser.parse_args()
     args.tr = 0
     tcfg, rcfg = configs_from_args(args)
-    rcfg = rcfg.replace(model=ModelKind.RIGID, threshold=0.05, max_iterations=5000)
+    # -t semantics for 3D follow the reference's ``sigma_th=opt.threshold``
+    # hand-off (``test_magsac_point.py:46-53``) — a user-provided -t is the
+    # inlier threshold in metric (scene) units. The parser default (0.75,
+    # tuned for pixel residuals) is senseless for 3D, so only then fall
+    # back to 0.05, the scale of the solver residual bound (rigid.py).
+    thr3d = args.threshold if args.threshold != 0.75 else 0.05
+    rcfg = rcfg.replace(model=ModelKind.RIGID, threshold=thr3d, max_iterations=5000)
 
     ds = ThreeDRecords([os.path.join(args.data_path, "test/")], num=args.num_points)
     model, state = create_train_state(

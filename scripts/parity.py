@@ -327,7 +327,7 @@ def run_ours(folder: str, args):
     import jax.numpy as jnp
 
     from differentiable_ransac_tpu.config import (
-        ModelKind, RansacConfig, SamplerKind,
+        ModelKind, RansacConfig, SamplerKind, ScoringKind,
     )
     from differentiable_ransac_tpu.data.datasets import TwoViewRecords
     from differentiable_ransac_tpu.data.torch_import import load_reference_clnet
@@ -345,10 +345,14 @@ def run_ours(folder: str, args):
         sampler=SamplerKind.GUMBEL_8PT if args.fmat else SamplerKind.GUMBEL,
         threshold=args.threshold,
         max_iterations=5000,
+        scoring=(ScoringKind.MAGSAC if args.scoring == "magsac"
+                 else ScoringKind.MSAC),
+        prescreen=args.prescreen,
     )
     params, bstats = load_reference_clnet(args.ckpt)
     model = CLNet()
-    eval_fn = make_eval_step(model, rcfg, prob_type=0, fast=not args.exact)
+    eval_fn = make_eval_step(model, rcfg, prob_type=0, fast=not args.exact,
+                             chunk=args.chunk, rescue_k=args.rescue_k)
 
     ds = TwoViewRecords([folder + "/"], 0.8, args.nf, rcfg.fmat)
     results = []
@@ -399,6 +403,20 @@ def main():
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--ckpt", default=os.path.join(
         REFERENCE, "pretrained_models/saved_model_5PC_l_epi/model.net"))
+    ap.add_argument("--scoring", choices=["msac", "magsac"], default="msac",
+                    help="our-side model-selection quality: plain MSAC or "
+                         "σ-marginalized MAGSAC++ consensus during the "
+                         "search (the reference has no runnable in-tree "
+                         "counterpart for the latter — its MAGSAC path "
+                         "shells out to the absent pymagsac)")
+    ap.add_argument("--prescreen", type=int, default=0,
+                    help="fast-engine ranking-subset size (0 -> engine "
+                         "default 256); raise toward nf for less ranking "
+                         "noise at high outlier/noise levels")
+    ap.add_argument("--chunk", type=int, default=512,
+                    help="fast-engine hypothesis chunk width")
+    ap.add_argument("--rescue_k", type=int, default=64,
+                    help="fast-engine carried top-k re-solved at f64")
     ap.add_argument("--exact", action="store_true",
                     help="use the all-f64 reference-semantics search "
                          "(ransac_test) instead of the fast engine")
@@ -478,9 +496,10 @@ def main():
     if args.out:
         mode = "F" if args.fmat else "E"
         with open(args.out, "a") as f:
+            scor = "" if args.scoring == "msac" else f", ours={args.scoring}"
             f.write(f"\n### {mode}-mode, {args.scenes} scenes, nf={args.nf}, "
                     f"noise={args.noise}px, outliers={args.outliers}, "
-                    f"t={args.threshold}, seed={args.seed}\n\n")
+                    f"t={args.threshold}, seed={args.seed}{scor}\n\n")
             keys = sorted(set(ours) | set(ref or {}))
             f.write("| metric | reference (torch CPU) | this framework |\n")
             f.write("|---|---|---|\n")

@@ -46,6 +46,30 @@ def test_essential_5pt_recovers_gt(seed):
 
 
 @pytest.mark.parametrize("seed", range(4))
+def test_essential_5pt_draft_budget_recovers_gt(seed):
+    """Reduced Aberth budget (the fast engines' f32 DRAFT prescreen core,
+    ``RansacConfig.draft_root_iters``) must still solve clean minimal
+    samples — ranking correctness is all the draft pass provides; carried
+    winners are re-solved at full budget/f64."""
+    p = two_view_problem(n_points=5, seed=seed + 300)
+    m = jnp.asarray(p["matches"], jnp.float32)
+
+    def best_dist(root_iters, root_polish):
+        models, valid = essential_5pt_nister(
+            m, solve_dtype=jnp.float32,
+            root_iters=root_iters, root_polish=root_polish)
+        models, valid = np.asarray(models), np.asarray(valid)
+        assert valid.any()
+        return min(_model_distance(mm, p["E"])
+                   for mm, v in zip(models, valid) if v)
+
+    # The promise is RELATIVE: a draft budget may not lose accuracy vs the
+    # full-budget f32 core (some samples are f32-hard at any budget — the
+    # f64 rescue handles those).
+    assert best_dist(16, 2) <= best_dist(0, 0) + 0.05, seed
+
+
+@pytest.mark.parametrize("seed", range(4))
 def test_essential_5pt_solutions_satisfy_constraints(seed):
     p = two_view_problem(n_points=5, seed=seed + 100)
     m = jnp.asarray(p["matches"])
