@@ -109,8 +109,12 @@ def measure_tpu(solver_precision: int = 2, use_pallas: bool = False,
     return hyps / dt, dt, (flops / dt if flops else None)
 
 
-def measure_eval_path():
-    """The adaptive search the eval scripts run (``ransac_test_fast``)."""
+def measure_eval_path(draft_iters: int = 0, draft_polish: int = 0):
+    """The adaptive search the eval scripts run (``ransac_test_fast``).
+
+    ``draft_iters/draft_polish`` > 0 benchmark the reduced-Aberth DRAFT
+    budget for the f32 prescreen core (``RansacConfig.draft_root_iters``) —
+    ranking-only precision; carried winners are re-solved at f64."""
     import jax
     import jax.numpy as jnp
 
@@ -118,7 +122,9 @@ def measure_eval_path():
     from differentiable_ransac_tpu.engine import ransac_test_fast
 
     cfg = RansacConfig(model=ModelKind.ESSENTIAL, sampler=SamplerKind.GUMBEL,
-                       threshold=2.0, max_iterations=5000)
+                       threshold=2.0, max_iterations=5000,
+                       draft_root_iters=draft_iters,
+                       draft_root_polish=draft_polish)
     pts, logits = _problem_arrays()
     thr = jnp.asarray(2.0 / 1000.0, jnp.float32)
 
@@ -268,6 +274,14 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"# eval_path failed: {e}", file=sys.stderr)
 
+    eval_draft = {}
+    try:
+        eval_draft = measure_eval_path(draft_iters=16, draft_polish=2)
+        print(f"# eval_path[draft 16/2]: {eval_draft['pairs_per_s']:.1f} pairs/s "
+              f"({eval_draft['ms_per_pair']:.1f} ms/pair)", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"# eval_path draft failed: {e}", file=sys.stderr)
+
     stages = {}
     try:
         stages = measure_stages()
@@ -291,6 +305,7 @@ def main():
         "vs_baseline": round(ours / baseline, 2) if baseline == baseline else None,
         "mfu_bf16peak": round(mfu, 5) if mfu else None,
         "eval_path": {k: (round(v, 2) if v else v) for k, v in eval_path.items()},
+        "eval_path_draft": {k: (round(v, 2) if v else v) for k, v in eval_draft.items()},
         "stages_ms": {k: round(v, 2) for k, v in stages.items()},
         "pallas": pallas.get("status"),
         "backend": backend,
