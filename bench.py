@@ -74,7 +74,7 @@ def _time_jitted(run, args_fn, iters=5):
 
 
 def measure_tpu(solver_precision: int = 2, use_pallas: bool = False,
-                rescued: bool = False):
+                rescued: bool = False, draft=(0, 0)):
     import jax
     import jax.numpy as jnp
 
@@ -87,6 +87,8 @@ def measure_tpu(solver_precision: int = 2, use_pallas: bool = False,
         threshold=2.0,
         solver_precision=solver_precision,
         use_pallas_scoring=use_pallas,
+        draft_root_iters=draft[0],
+        draft_root_polish=draft[1],
     )
     pts, logits = _problem_arrays()
     thr = jnp.asarray(2.0 / 1000.0, jnp.float32)
@@ -250,6 +252,10 @@ def main():
     mfu = None
     for name, kw in (
         ("mixed_rescued", dict(rescued=True)),
+        # Reduced-Aberth draft ranking: final quality identical (carried
+        # winners re-solved at full-budget f64; bit-identical best models
+        # on 16 synthetic problems, tests/test_engine_fixed.py draft test).
+        ("mixed_rescued_draft", dict(rescued=True, draft=(16, 2))),
         ("f64_core", dict(solver_precision=2)),
     ):
         try:
