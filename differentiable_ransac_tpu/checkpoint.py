@@ -20,7 +20,7 @@ retention management (``max_to_keep``).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
