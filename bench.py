@@ -242,7 +242,32 @@ def measure_reference_baseline():
     return hyp_per_s
 
 
+def _tunnel_alive(host="127.0.0.1", port=8103, timeout=3.0) -> bool:
+    """TCP probe of the axon remote-compile relay. When the relay is down,
+    jax device init HANGS forever (no error) — fail fast with a diagnostic
+    instead, so a dead tunnel reads as an infrastructure failure rather
+    than a hung or bogus-CPU benchmark."""
+    import socket
+
+    try:
+        with socket.create_connection((host, port), timeout=timeout):
+            return True
+    except OSError:
+        return False
+
+
 def main():
+    if os.environ.get("JAX_PLATFORMS", "") == "axon" and not _tunnel_alive():
+        print(json.dumps({
+            "metric": "5pc_hypotheses_per_sec_per_chip",
+            "value": None,
+            "unit": "hyp/s",
+            "vs_baseline": None,
+            "error": "axon remote-compile relay (127.0.0.1:8103) unreachable"
+                     " - TPU tunnel down; jax device init would hang",
+        }))
+        sys.exit(2)
+
     import jax
 
     backend = jax.default_backend()
