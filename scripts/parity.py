@@ -347,6 +347,7 @@ def run_ours(folder: str, args):
         max_iterations=5000,
         scoring=(ScoringKind.MAGSAC if args.scoring == "magsac"
                  else ScoringKind.MSAC),
+        sigma_max=args.sigma_max,
         prescreen=args.prescreen,
     )
     params, bstats = load_reference_clnet(args.ckpt)
@@ -409,6 +410,12 @@ def main():
                          "search (the reference has no runnable in-tree "
                          "counterpart for the latter — its MAGSAC path "
                          "shells out to the absent pymagsac)")
+    ap.add_argument("--sigma_max", type=float, default=0.0,
+                    help="MAGSAC sigma_max as a multiple of the threshold "
+                         "(0 -> 1.0, the reference's sigma_th=threshold "
+                         "hand-off); raise so 3.64*sigma_max covers the "
+                         "true noise scale when the threshold is "
+                         "misspecified low")
     ap.add_argument("--prescreen", type=int, default=0,
                     help="fast-engine ranking-subset size (0 -> engine "
                          "default 256); raise toward nf for less ranking "
