@@ -62,6 +62,13 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="override RANSAC iteration budget")
     p.add_argument("--lo", "-lo", type=int, default=0, help="local optimization 0-3")
     p.add_argument("--out_dir", "-o", default="results")
+    p.add_argument("--sigma_max", "-smax", type=float, default=0.0,
+                   help="MAGSAC sigma_max as a multiple of the threshold "
+                        "(0 -> 1.0, the reference's sigma_th=threshold "
+                        "hand-off, test_magsac.py:67). Raise so "
+                        "3.64*sigma_max covers the true residual spread "
+                        "when -t is misspecified low (see PARITY.md "
+                        "F stress cell).")
     return p
 
 
@@ -85,6 +92,7 @@ def configs_from_args(args) -> tuple[TrainConfig, RansacConfig]:
         precision=args.precision,
         scoring=(ScoringKind.MAGSAC if getattr(args, "scoring", 1) == 2
                  else ScoringKind.MSAC),
+        sigma_max=getattr(args, "sigma_max", 0.0),
     )
     tcfg = TrainConfig(
         batch_size=args.batch_size,

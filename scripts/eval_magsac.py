@@ -78,15 +78,17 @@ def main():
                         pts = feats[:, :4].copy()
                         pts[:, 0:2] = pts[:, 0:2] * s1.max() + np.array([s1[1] / 2, s1[0] / 2])
                         pts[:, 2:4] = pts[:, 2:4] * s2.max() + np.array([s2[1] / 2, s2[0] / 2])
+                        smax = rcfg.threshold * (rcfg.sigma_max or 1.0)
                         polished, q = native.sigma_consensus_polish(
-                            pts, models[b], sigma_max=rcfg.threshold, essential=False
+                            pts, models[b], sigma_max=smax, essential=False
                         )
                     else:
                         pts = feats[:, :4]
                         focal = (batch["K1"][b][0, 0] + batch["K1"][b][1, 1]
                                  + batch["K2"][b][0, 0] + batch["K2"][b][1, 1]) / 4
+                        smax = rcfg.threshold * (rcfg.sigma_max or 1.0)
                         polished, q = native.sigma_consensus_polish(
-                            pts, models[b], sigma_max=rcfg.threshold / focal, essential=True
+                            pts, models[b], sigma_max=smax / focal, essential=True
                         )
                         idx = np.where(masks[b])[0]
                         if len(idx) >= 6:
