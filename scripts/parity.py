@@ -356,32 +356,43 @@ def run_ours(folder: str, args):
                              chunk=args.chunk, rescue_k=args.rescue_k)
 
     ds = TwoViewRecords([folder + "/"], 0.8, args.nf, rcfg.fmat)
-    results = []
-    est_models = []
-    search_time = 0.0
-    n_pairs = 0
+    per_key_aggs = []
     warmed = False
-    for batch in ds.batches(args.batch_size):
-        jb = {k: jnp.asarray(v) for k, v in batch.items()}
-        if not warmed:  # compile outside the timed region
-            jax.block_until_ready(
-                eval_fn(params, bstats, jb, jax.random.PRNGKey(0))[0])
-            warmed = True
-        t0 = time.perf_counter()
-        models, masks, scores, iters, w = eval_fn(
-            params, bstats, jb, jax.random.PRNGKey(0))
-        jax.block_until_ready(models)
-        search_time += time.perf_counter() - t0
-        n_pairs += models.shape[0]
-        est_models.append(np.asarray(models))
-        if rcfg.fmat:
-            results += evaluate_fundamental_batch(models, batch, 0.75)
-        else:
-            results += evaluate_essential_batch(models, batch)
-    agg = (aggregate_fundamental if rcfg.fmat else aggregate_essential)(results)
-    agg["search_s_per_pair"] = search_time / max(n_pairs, 1)
-    # per-scene comparison values: pose error (E) or F1 (F)
+    for ki in range(max(1, args.keys)):
+        results = []
+        est_models = []
+        search_time = 0.0
+        n_pairs = 0
+        for batch in ds.batches(args.batch_size):
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            if not warmed:  # compile outside the timed region
+                jax.block_until_ready(
+                    eval_fn(params, bstats, jb, jax.random.PRNGKey(0))[0])
+                warmed = True
+            t0 = time.perf_counter()
+            models, masks, scores, iters, w = eval_fn(
+                params, bstats, jb, jax.random.PRNGKey(ki))
+            jax.block_until_ready(models)
+            search_time += time.perf_counter() - t0
+            n_pairs += models.shape[0]
+            est_models.append(np.asarray(models))
+            if rcfg.fmat:
+                results += evaluate_fundamental_batch(models, batch, 0.75)
+            else:
+                results += evaluate_essential_batch(models, batch)
+        agg = (aggregate_fundamental if rcfg.fmat
+               else aggregate_essential)(results)
+        agg["search_s_per_pair"] = search_time / max(n_pairs, 1)
+        per_key_aggs.append(agg)
+        if args.keys > 1:
+            print(f"ours key{ki}:",
+                  {k: round(v, 4) for k, v in agg.items()})
+    # per-scene comparison values from the LAST key: pose error (E) / F1 (F)
     errs = [r.get("err_pose", -r.get("F1", 0.0)) for r in results]
+    # single-run AUCs move by ±0.08-0.10 at high noise (PARITY.md) — with
+    # --keys N report the mean over independent search keys
+    agg = {k: float(np.mean([a[k] for a in per_key_aggs]))
+           for k in per_key_aggs[0]}
     return agg, errs, np.concatenate(est_models, axis=0)
 
 
@@ -410,6 +421,11 @@ def main():
                          "search (the reference has no runnable in-tree "
                          "counterpart for the latter — its MAGSAC path "
                          "shells out to the absent pymagsac)")
+    ap.add_argument("--keys", type=int, default=1,
+                    help="run our side with N independent search keys and "
+                         "report the mean (single-run AUCs carry ±0.08-0.10 "
+                         "spread at high noise; the reference side stays "
+                         "one run of its own stochastic pipeline)")
     ap.add_argument("--sigma_max", type=float, default=0.0,
                     help="MAGSAC sigma_max as a multiple of the threshold "
                          "(0 -> 1.0, the reference's sigma_th=threshold "
