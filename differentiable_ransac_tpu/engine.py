@@ -435,6 +435,44 @@ class _BestState(NamedTuple):
     key: jax.Array
 
 
+def pilot_sigma_max(cfg: RansacConfig, points, logits, key, threshold=None,
+                    num_hypotheses: int = 512, inflate: float = 4.0):
+    """Estimate the MAGSAC ``sigma_max`` multiplier from the data itself.
+
+    MAGSAC++ leaves σ_max to the user (the reference forwards the raw
+    ``-t``, ``test_magsac.py:67``); a threshold misspecified low caps the
+    marginalization below the true noise and costs large AUC (PARITY.md
+    stress cells: hand-tuning σ_max=4t was worth +0.24 AUC@5). This runs a
+    cheap MSAC pilot search at ``inflate·threshold`` (so real inliers are
+    inside the support even when ``t`` underestimates the noise), then
+    robustly estimates the inlier scale σ̂ from the winner's residuals
+    (:func:`scoring.estimate_sigma`).
+
+    Returns σ̂/threshold — pass as ``cfg.replace(sigma_max=...)`` (dataset-
+    or batch-level granularity; noise scale is a property of the detector
+    and imagery, not of one pair). Jittable; vmap over pairs and take the
+    median on the host.
+    """
+    from differentiable_ransac_tpu.ops.epipolar import sampson_squared
+    from differentiable_ransac_tpu.scoring import estimate_sigma
+    from differentiable_ransac_tpu.solvers.rigid import rigid_squared_residual
+
+    if threshold is None:
+        threshold = cfg.threshold
+    threshold = jnp.asarray(threshold).astype(points.dtype)
+    pilot_cfg = cfg.replace(scoring=ScoringKind.MSAC, solver_precision=1)
+    out = ransac_fixed(pilot_cfg, points, logits, key,
+                       threshold=threshold * inflate,
+                       num_hypotheses=num_hypotheses)
+    if cfg.model == ModelKind.RIGID:
+        d2, _ = rigid_squared_residual(points[:, :3], points[:, 3:],
+                                       out["best_model"])
+    else:
+        d2 = sampson_squared(out["best_model"], points)
+    sigma = estimate_sigma(d2, threshold)
+    return sigma / threshold
+
+
 def _strict_cfg(cfg: RansacConfig) -> RansacConfig:
     """Config whose scorer yields the STRICT (plain-threshold) inlier mask.
 

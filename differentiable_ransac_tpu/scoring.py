@@ -70,6 +70,40 @@ def _sigma_marginal_weights(d2: jnp.ndarray, sigma_max, levels: int):
     return acc / levels
 
 
+def estimate_sigma(d2: jnp.ndarray, threshold, iters: int = 3,
+                   point_mask: jnp.ndarray | None = None):
+    """Robust inlier noise-scale estimate from a pilot model's squared
+    residuals — the input MAGSAC++ leaves to the user (``sigma_th``).
+
+    Inlier |d| is half-normal with scale σ (median = 0.674 σ). Fixed-point
+    iteration: estimate the median inside a 3σ window, divide by 0.674,
+    shrink the window — ``iters`` rounds reject the outlier tail. Fixed
+    shapes throughout (masked sort, no data-dependent sizes); seeded at the
+    user threshold so a grossly misspecified ``t`` still converges to the
+    data's own scale within 2-3 rounds.
+
+    Args:
+        d2: (N,) squared residuals under the pilot model.
+        threshold: seed scale (same units as the residuals).
+        point_mask: optional (N,) validity of padded points.
+
+    Returns:
+        σ̂ scalar, clipped below at ``threshold/3.64`` (never smaller than
+        the support radius the user's own threshold implies).
+    """
+    d = jnp.sqrt(jnp.maximum(d2, 0.0))
+    valid0 = jnp.ones_like(d, bool) if point_mask is None else point_mask > 0
+    sigma = jnp.asarray(threshold, d.dtype)
+    for _ in range(iters):
+        w = valid0 & (d < 3.0 * sigma)
+        ds = jnp.sort(jnp.where(w, d, jnp.inf))
+        k = jnp.clip((jnp.sum(w) // 2).astype(jnp.int32), 0, d.shape[0] - 1)
+        med = ds[k]
+        # guard: window devoid of points (all inf) keeps the prior sigma
+        sigma = jnp.where(jnp.isfinite(med), med / 0.674, sigma)
+    return jnp.maximum(sigma, jnp.asarray(threshold, d.dtype) / 3.64)
+
+
 def magsac_score(
     matches: jnp.ndarray,
     models: jnp.ndarray,

@@ -352,10 +352,39 @@ def run_ours(folder: str, args):
     )
     params, bstats = load_reference_clnet(args.ckpt)
     model = CLNet()
-    eval_fn = make_eval_step(model, rcfg, prob_type=0, fast=not args.exact,
-                             chunk=args.chunk, rescue_k=args.rescue_k)
 
     ds = TwoViewRecords([folder + "/"], 0.8, args.nf, rcfg.fmat)
+
+    if args.sigma_max < 0:  # auto: estimate the noise scale from the data
+        from differentiable_ransac_tpu.engine import (
+            normalized_threshold, pilot_sigma_max,
+        )
+        from differentiable_ransac_tpu.evaluate import _prepare_pair_points
+
+        # fresh dataset instance: consuming a pilot batch must not advance
+        # the eval dataset's stateful padding rng (changes the eval data)
+        ds_pilot = TwoViewRecords([folder + "/"], 0.8, args.nf, rcfg.fmat)
+        batch = next(iter(ds_pilot.batches(args.batch_size)))
+        pts = _prepare_pair_points(
+            {k: jnp.asarray(v) for k, v in batch.items()}, rcfg.fmat)
+        if rcfg.fmat:
+            thr = jnp.full((pts.shape[0],), rcfg.threshold, pts.dtype)
+        else:
+            thr = jax.vmap(lambda K1, K2: normalized_threshold(rcfg, K1, K2))(
+                jnp.asarray(batch["K1"]), jnp.asarray(batch["K2"])
+            ).astype(pts.dtype)
+        mults = jax.jit(jax.vmap(
+            lambda p, t, k: pilot_sigma_max(
+                rcfg, p, jnp.zeros(p.shape[0], p.dtype), k, threshold=t)
+        ))(pts, thr, jax.random.split(jax.random.PRNGKey(7), pts.shape[0]))
+        auto = float(np.median(np.asarray(mults)))
+        print(f"auto sigma_max: {auto:.2f} x threshold "
+              f"(per-pair range {float(np.min(mults)):.2f}-"
+              f"{float(np.max(mults)):.2f})")
+        rcfg = rcfg.replace(sigma_max=auto)
+
+    eval_fn = make_eval_step(model, rcfg, prob_type=0, fast=not args.exact,
+                             chunk=args.chunk, rescue_k=args.rescue_k)
     per_key_aggs = []
     warmed = False
     for ki in range(max(1, args.keys)):

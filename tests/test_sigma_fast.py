@@ -213,6 +213,41 @@ def test_magsac_termination_uses_strict_inlier_count():
     assert iters[ScoringKind.MAGSAC] >= 512, iters  # not a first-chunk bailout
 
 
+def test_estimate_sigma_recovers_scale_under_contamination():
+    """σ̂ from contaminated residuals: 60% half-normal(σ) + 40% uniform
+    outliers, seeded with a 4× misspecified threshold."""
+    from differentiable_ransac_tpu.scoring import estimate_sigma
+
+    rng = np.random.default_rng(0)
+    sigma = 2e-3
+    d_in = np.abs(rng.normal(0, sigma, 600))
+    d_out = rng.uniform(0.05, 0.5, 400)
+    d2 = jnp.asarray(np.concatenate([d_in, d_out]) ** 2)
+    est = float(estimate_sigma(d2, threshold=sigma / 4.0))
+    assert 0.7 * sigma < est < 1.4 * sigma, est
+    # point_mask path: masking out the outliers tightens the estimate
+    mask = jnp.asarray(np.r_[np.ones(600), np.zeros(400)])
+    est_m = float(estimate_sigma(d2, threshold=sigma / 4.0, point_mask=mask))
+    assert 0.7 * sigma < est_m < 1.3 * sigma, est_m
+
+
+def test_pilot_sigma_max_detects_misspecified_threshold():
+    """End-to-end auto-σ: 2px-noise data with t=0.5px must yield a
+    multiplier ≈ σ/t = 4 (the hand-tuned value worth +0.24 AUC@5 in the
+    PARITY stress cells)."""
+    from differentiable_ransac_tpu.engine import pilot_sigma_max
+
+    prob = two_view_problem(n_points=400, noise=2.0, outlier_ratio=0.5, seed=13)
+    pts = jnp.asarray(prob["matches"])
+    cfg = RansacConfig(model=ModelKind.ESSENTIAL, sampler=SamplerKind.GUMBEL,
+                       threshold=0.5, scoring=ScoringKind.MAGSAC)
+    mult = float(jax.jit(
+        lambda p, k: pilot_sigma_max(cfg, p, jnp.zeros(p.shape[0], p.dtype),
+                                     k, threshold=0.5e-3)
+    )(pts, jax.random.PRNGKey(0)))
+    assert 2.0 < mult < 8.0, mult
+
+
 # ---------------------------------------------------------------------------
 # PROSAC ordering
 # ---------------------------------------------------------------------------
