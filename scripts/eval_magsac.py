@@ -52,6 +52,42 @@ def main():
     # SOTA search semantics (reference test_magsac.py): σ-consensus model
     # selection during the search (-s 2, wired via configs_from_args) +
     # PROSAC-style ordering by predicted rank (-prosac 1).
+    if rcfg.sigma_max < 0:
+        # -smax -1: estimate σ_max from the data (detector-level noise
+        # scale) via a pilot search on the first scene's first batch —
+        # see PARITY.md "misspecified threshold" cells for the effect.
+        from differentiable_ransac_tpu.engine import (
+            normalized_threshold, pilot_sigma_max,
+        )
+        from differentiable_ransac_tpu.train import _prepare_pair_points
+
+        for scene in scenes:
+            folder = os.path.join(args.data_path, scene, "test_data/")
+            if not os.path.isdir(folder):
+                continue
+            pilot_ds = TwoViewRecords([folder], tcfg.snn_threshold,
+                                      tcfg.nfeatures, rcfg.fmat)
+            batch = next(iter(pilot_ds.batches(tcfg.batch_size)))
+            pts = _prepare_pair_points(
+                {k: jnp.asarray(v) for k, v in batch.items()}, rcfg.fmat)
+            if rcfg.fmat:
+                thr = jnp.full((pts.shape[0],), rcfg.threshold, pts.dtype)
+            else:
+                thr = jax.vmap(
+                    lambda K1, K2: normalized_threshold(rcfg, K1, K2)
+                )(jnp.asarray(batch["K1"]), jnp.asarray(batch["K2"])
+                  ).astype(pts.dtype)
+            mults = jax.jit(jax.vmap(
+                lambda p, t, k: pilot_sigma_max(
+                    rcfg, p, jnp.zeros(p.shape[0], p.dtype), k, threshold=t)
+            ))(pts, thr,
+               jax.random.split(jax.random.PRNGKey(7), pts.shape[0]))
+            auto = round(float(np.median(np.asarray(mults))), 2)
+            print(f"auto sigma_max = {auto} x threshold (from {scene})")
+            rcfg = rcfg.replace(sigma_max=auto)
+            break
+        else:
+            rcfg = rcfg.replace(sigma_max=0.0)
     eval_fn = make_eval_step(model, rcfg, int(tcfg.prob_type),
                              prosac=bool(getattr(args, "prosac", 0)))
     logger = MetricsLogger(args.out_dir, session_string("magsac", tcfg, rcfg))
@@ -68,7 +104,9 @@ def main():
             models, masks, scores, iters, w = eval_fn(
                 state.params, state.batch_stats, jb, jax.random.PRNGKey(0)
             )
-            models = np.asarray(models)
+            # np.array (copy): asarray of a jax array can be a READ-ONLY
+            # zero-copy view (CPU backend) and the polish writes back
+            models = np.array(models)
             masks = np.asarray(masks)
             if native.available():
                 for b in range(models.shape[0]):
