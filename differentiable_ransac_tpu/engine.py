@@ -436,6 +436,7 @@ class _BestState(NamedTuple):
 
 
 def pilot_sigma_max(cfg: RansacConfig, points, logits, key, threshold=None,
+                    point_mask: Optional[jnp.ndarray] = None,
                     num_hypotheses: int = 512, inflate: float = 4.0):
     """Estimate the MAGSAC ``sigma_max`` multiplier from the data itself.
 
@@ -463,13 +464,14 @@ def pilot_sigma_max(cfg: RansacConfig, points, logits, key, threshold=None,
     pilot_cfg = cfg.replace(scoring=ScoringKind.MSAC, solver_precision=1)
     out = ransac_fixed(pilot_cfg, points, logits, key,
                        threshold=threshold * inflate,
-                       num_hypotheses=num_hypotheses)
+                       num_hypotheses=num_hypotheses,
+                       point_mask=point_mask)
     if cfg.model == ModelKind.RIGID:
         d2, _ = rigid_squared_residual(points[:, :3], points[:, 3:],
                                        out["best_model"])
     else:
         d2 = sampson_squared(out["best_model"], points)
-    sigma = estimate_sigma(d2, threshold)
+    sigma = estimate_sigma(d2, threshold, point_mask=point_mask)
     return sigma / threshold
 
 
