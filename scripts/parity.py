@@ -273,15 +273,30 @@ def run_ours_rigid(folder: str, args):
     import jax.numpy as jnp
 
     from differentiable_ransac_tpu.config import (
-        ModelKind, RansacConfig, SamplerKind,
+        ModelKind, RansacConfig, SamplerKind, ScoringKind,
     )
     from differentiable_ransac_tpu.data.datasets import ThreeDRecords
-    from differentiable_ransac_tpu.engine import ransac_test
+    from differentiable_ransac_tpu.engine import pilot_sigma_max, ransac_test
     from differentiable_ransac_tpu.ops import metrics as M
 
     rcfg = RansacConfig(model=ModelKind.RIGID, sampler=SamplerKind.GUMBEL,
-                        threshold=0.03, max_iterations=args.rigid_iterations)
+                        threshold=0.03, max_iterations=args.rigid_iterations,
+                        scoring=(ScoringKind.MAGSAC if args.scoring == "magsac"
+                                 else ScoringKind.MSAC),
+                        sigma_max=max(args.sigma_max, 0.0))
     ds = ThreeDRecords([folder + "/"], num=args.nf)
+
+    if args.sigma_max < 0:  # auto σ from the first scan's residual scale
+        b0 = next(iter(ThreeDRecords([folder + "/"], num=args.nf)
+                       .batches(args.batch_size, drop_last=False)))
+        corr0 = jnp.asarray(b0["correspondences"])[..., :6]
+        mults = jax.jit(jax.vmap(
+            lambda p, k: pilot_sigma_max(
+                rcfg, p, jnp.zeros(p.shape[0], p.dtype), k)
+        ))(corr0, jax.random.split(jax.random.PRNGKey(7), corr0.shape[0]))
+        auto = float(np.median(np.asarray(mults)))
+        print(f"auto sigma_max (rigid): {auto:.2f} x threshold")
+        rcfg = rcfg.replace(sigma_max=auto)
 
     @jax.jit
     def infer(corr, key):
