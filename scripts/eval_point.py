@@ -39,6 +39,22 @@ def main():
     rcfg = rcfg.replace(model=ModelKind.RIGID, threshold=thr3d, max_iterations=5000)
 
     ds = ThreeDRecords([os.path.join(args.data_path, "test/")], num=args.num_points)
+
+    if rcfg.sigma_max < 0:
+        # -smax -1: σ_max from the data's own residual scale (pilot search;
+        # see PARITY.md rigid stress cell — auto-σ was worth 4.5× RRE)
+        from differentiable_ransac_tpu.engine import pilot_sigma_max
+
+        b0 = next(iter(ThreeDRecords(
+            [os.path.join(args.data_path, "test/")], num=args.num_points
+        ).batches(tcfg.batch_size, drop_last=False)))
+        corr0 = jnp.asarray(b0["correspondences"])[..., :6]
+        mults = jax.jit(jax.vmap(
+            lambda p, k: pilot_sigma_max(rcfg, p, jnp.zeros(p.shape[0], p.dtype), k)
+        ))(corr0, jax.random.split(jax.random.PRNGKey(7), corr0.shape[0]))
+        auto = round(float(np.median(np.asarray(mults))), 2)
+        print(f"auto sigma_max = {auto} x threshold")
+        rcfg = rcfg.replace(sigma_max=auto)
     model, state = create_train_state(
         jax.random.PRNGKey(0), tcfg, args.num_points, create_optimizer(tcfg)
     )
