@@ -306,33 +306,39 @@ def run_ours_rigid(folder: str, args):
                                      jnp.zeros(p.shape[0], p.dtype), k)
         )(corr, keys)
 
-    rres, rtes, rmses, est_models = [], [], [], []
-    search_time = 0.0
+    per_key = []
     warmed = False
-    for batch in ds.batches(args.batch_size, drop_last=False):
-        corr = jnp.asarray(batch["correspondences"])
-        if not warmed:
-            jax.block_until_ready(infer(corr, jax.random.PRNGKey(0))[0])
-            warmed = True
-        t0 = time.perf_counter()
-        models, masks, scores, iters = infer(corr, jax.random.PRNGKey(0))
-        jax.block_until_ready(models)
-        search_time += time.perf_counter() - t0
-        models = np.asarray(models)
-        for b in range(models.shape[0]):
-            gt = np.asarray(batch["gt_pose"][b])
-            rre, rte = M.compute_registration_error(gt, models[b])
-            src = np.asarray(batch["correspondences"][b][:, :3])
-            rmse = M.registration_rmse(src, gt, models[b])
-            rres.append(rre); rtes.append(rte); rmses.append(rmse)
-            est_models.append(models[b])
-    out = {
-        "RRE_deg": float(np.mean(rres)),
-        "RTE": float(np.mean(rtes)),
-        "RMSE": float(np.mean(rmses)),
-        "recall@0.2": float(np.mean(np.asarray(rmses) < 0.2)),
-        "search_s_per_pair": search_time / len(rres),
-    }
+    for ki in range(max(1, args.keys)):
+        rres, rtes, rmses, est_models = [], [], [], []
+        search_time = 0.0
+        for batch in ds.batches(args.batch_size, drop_last=False):
+            corr = jnp.asarray(batch["correspondences"])
+            if not warmed:
+                jax.block_until_ready(infer(corr, jax.random.PRNGKey(0))[0])
+                warmed = True
+            t0 = time.perf_counter()
+            models, masks, scores, iters = infer(corr, jax.random.PRNGKey(ki))
+            jax.block_until_ready(models)
+            search_time += time.perf_counter() - t0
+            models = np.asarray(models)
+            for b in range(models.shape[0]):
+                gt = np.asarray(batch["gt_pose"][b])
+                rre, rte = M.compute_registration_error(gt, models[b])
+                src = np.asarray(batch["correspondences"][b][:, :3])
+                rmse = M.registration_rmse(src, gt, models[b])
+                rres.append(rre); rtes.append(rte); rmses.append(rmse)
+                est_models.append(models[b])
+        out = {
+            "RRE_deg": float(np.mean(rres)),
+            "RTE": float(np.mean(rtes)),
+            "RMSE": float(np.mean(rmses)),
+            "recall@0.2": float(np.mean(np.asarray(rmses) < 0.2)),
+            "search_s_per_pair": search_time / len(rres),
+        }
+        per_key.append(out)
+        if args.keys > 1:
+            print(f"ours key{ki}:", {k: round(v, 4) for k, v in out.items()})
+    out = {k: float(np.mean([a[k] for a in per_key])) for k in per_key[0]}
     return out, rmses, est_models
 
 
