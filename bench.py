@@ -73,7 +73,7 @@ def _time_jitted(run, args_fn, iters=5):
     return (time.perf_counter() - t0) / iters, flops
 
 
-def measure_tpu(solver_precision: int = 2, use_pallas: bool = False,
+def measure_tpu(solver_precision: int = 2,
                 rescued: bool = False, draft=(0, 0)):
     import jax
     import jax.numpy as jnp
@@ -86,7 +86,6 @@ def measure_tpu(solver_precision: int = 2, use_pallas: bool = False,
         sampler=SamplerKind.GUMBEL,
         threshold=2.0,
         solver_precision=solver_precision,
-        use_pallas_scoring=use_pallas,
         draft_root_iters=draft[0],
         draft_root_polish=draft[1],
     )
@@ -187,15 +186,6 @@ def measure_stages():
     return {"solve32_ms": dt_solve * 1e3, "score_ms": dt_score * 1e3}
 
 
-def try_pallas():
-    """The fused Pallas MSAC kernel cannot compile through the axon dev
-    tunnel (server-side TPU_WORKER_HOSTNAMES injection breaks Mosaic);
-    attempt it and report rather than claim."""
-    try:
-        hyp_s, dt, _ = measure_tpu(solver_precision=1, use_pallas=True)
-        return {"status": "ok", "hyp_per_s": hyp_s}
-    except Exception as e:
-        return {"status": f"unavailable: {type(e).__name__}"}
 
 
 def measure_reference_baseline():
@@ -203,9 +193,18 @@ def measure_reference_baseline():
     batched 5PC solve (``essential_matrix_estimator_nister.py:69-408``) +
     MSAC scoring of all points (``scorings/msac_score.py:12-55``), its
     in-tensor batch size 64 (``utils.py:33``)."""
+    # cache keyed on host identity + 14-day TTL: a stale number from a
+    # different box (or an upgraded one) must not silently anchor every
+    # future vs_baseline ratio.
+    import platform
+
+    host_key = f"{platform.node()}:{os.cpu_count()}"
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            return json.load(f)["hyp_per_s"]
+            cached = json.load(f)
+        fresh = (time.time() - os.path.getmtime(BASELINE_CACHE)) < 14 * 86400
+        if cached.get("host_key") == host_key and fresh:
+            return cached["hyp_per_s"]
 
     sys.path.insert(0, "/root/reference")
     import torch
@@ -230,14 +229,19 @@ def measure_reference_baseline():
         return scores
 
     one_chunk()  # warmup
-    iters = 8
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        one_chunk()
-    dt = (time.perf_counter() - t0) / iters
-    hyp_per_s = rbs / dt
+    # best-of-3 repeats: concurrent load on this shared box can halve a
+    # single measurement, which would unfairly inflate vs_baseline
+    best_dt = float("inf")
+    for _ in range(3):
+        iters = 8
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            one_chunk()
+        best_dt = min(best_dt, (time.perf_counter() - t0) / iters)
+    hyp_per_s = rbs / best_dt
     with open(BASELINE_CACHE, "w") as f:
-        json.dump({"hyp_per_s": hyp_per_s, "note": "torch-cpu reference 5PC+MSAC, rbs=64"}, f)
+        json.dump({"hyp_per_s": hyp_per_s, "host_key": host_key,
+                   "note": "torch-cpu reference 5PC+MSAC, rbs=64"}, f)
     sys.path.remove("/root/reference")
     return hyp_per_s
 
@@ -256,15 +260,30 @@ def _tunnel_alive(host="127.0.0.1", port=8103, timeout=3.0) -> bool:
         return False
 
 
+def _wait_for_tunnel(total_s: float = 300.0, poll_s: float = 15.0) -> bool:
+    """Poll the relay for up to ``total_s`` so a transient tunnel blip does
+    not cost a round's benchmark capture (the r2 capture was lost to exactly
+    that). Returns True as soon as the relay answers."""
+    deadline = time.monotonic() + total_s
+    while True:
+        if _tunnel_alive():
+            return True
+        if time.monotonic() >= deadline:
+            return False
+        print(f"# tunnel down; retrying for another "
+              f"{deadline - time.monotonic():.0f}s", file=sys.stderr)
+        time.sleep(poll_s)
+
+
 def main():
-    if os.environ.get("JAX_PLATFORMS", "") == "axon" and not _tunnel_alive():
+    if os.environ.get("JAX_PLATFORMS", "") == "axon" and not _wait_for_tunnel():
         print(json.dumps({
             "metric": "5pc_hypotheses_per_sec_per_chip",
             "value": None,
             "unit": "hyp/s",
             "vs_baseline": None,
             "error": "axon remote-compile relay (127.0.0.1:8103) unreachable"
-                     " - TPU tunnel down; jax device init would hang",
+                     " for 300s - TPU tunnel down; jax device init would hang",
         }))
         sys.exit(2)
 
@@ -321,8 +340,6 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"# stages failed: {e}", file=sys.stderr)
 
-    pallas = try_pallas() if backend == "tpu" else {"status": "skipped(cpu)"}
-    print(f"# pallas: {pallas['status']}", file=sys.stderr)
 
     ours = max(variants.values()) if variants else float("nan")
     try:
@@ -338,7 +355,6 @@ def main():
         "eval_path": {k: (round(v, 2) if v else v) for k, v in eval_path.items()},
         "eval_path_draft": {k: (round(v, 2) if v else v) for k, v in eval_draft.items()},
         "stages_ms": {k: round(v, 2) for k, v in stages.items()},
-        "pallas": pallas.get("status"),
         "backend": backend,
     }))
 

@@ -1,4 +1,4 @@
-"""TPU-native differentiable robust estimation (∇-RANSAC on JAX/XLA/Pallas).
+"""TPU-native differentiable robust estimation (∇-RANSAC on JAX/XLA).
 
 A brand-new, TPU-first framework with the capabilities of Generalized
 Differentiable RANSAC (ICCV 2023, reference: weitong8591/differentiable_ransac):
@@ -18,6 +18,17 @@ import jax as _jax
 # (the bulk compute — scoring matmuls, the network — stays explicitly fp32/bf16).
 # x64 must be enabled process-wide for float64 dtypes to exist.
 _jax.config.update("jax_enable_x64", True)
+
+# TPU MXU contractions on f32 inputs run ONE bf16×bf16 pass by default
+# (8-bit mantissa). Robust-estimation algebra cannot survive that: F-mode
+# works on pixel-scale coordinates (~1e3) where epipolar residuals must
+# resolve <1 px — measured on identical records, the default precision
+# collapsed F1 0.648 → 0.151 and pose AUC@5 1.00 → 0.875 (PARITY.md round-3
+# note). "highest" selects the 3-pass bf16 scheme (≈ true f32) for every
+# f32 dot/einsum; CPU/GPU are unaffected. Overridable via the standard
+# JAX_DEFAULT_MATMUL_PRECISION env or by setting the config before import.
+if _jax.config.jax_default_matmul_precision is None:
+    _jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: TPU compiles of the full engine take minutes;
 # cache them across processes. Opt out with DRT_NO_COMPILATION_CACHE=1.

@@ -94,9 +94,12 @@ class CheckpointManager:
             "step": np.asarray(state.step),
         }
         if rng is not None:
-            # typed PRNG keys can't convert to numpy directly
+            # typed PRNG keys can't convert to numpy directly; record the
+            # key impl so a key saved under a non-default impl (e.g. rbg)
+            # restores as the SAME generator, not the process default.
             if jax.dtypes.issubdtype(rng.dtype, jax.dtypes.prng_key):
                 tree["rng"] = np.asarray(jax.random.key_data(rng))
+                tree["rng_impl"] = str(jax.random.key_impl(rng))
             else:
                 tree["rng"] = np.asarray(rng)
         if data is not None:
@@ -138,7 +141,12 @@ class CheckpointManager:
         )
         rng = None
         if "rng" in tree and tree["rng"] is not None:
-            rng = jax.random.wrap_key_data(jnp.asarray(tree["rng"]))
+            impl = tree.get("rng_impl")
+            if impl is not None:
+                rng = jax.random.wrap_key_data(jnp.asarray(tree["rng"]),
+                                               impl=str(impl))
+            else:
+                rng = jax.random.wrap_key_data(jnp.asarray(tree["rng"]))
         data = DataPosition.from_tree(tree["data"]) if "data" in tree else None
         return state, rng, data
 

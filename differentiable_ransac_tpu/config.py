@@ -45,10 +45,13 @@ class ScoringKind(enum.IntEnum):
     the whole search is handed to C++ MAGSAC++ (``test_magsac.py:61-69``);
     here it is an elementwise function of the same Sampson d² evaluated on
     TPU (see :func:`differentiable_ransac_tpu.scoring.magsac_score`).
+    RANSAC: plain hard inlier count over the same support as MSAC — the
+    classic criterion the ``-s 0`` flag documents.
     """
 
     MSAC = 0
     MAGSAC = 1
+    RANSAC = 2
 
 
 class ProbType(enum.IntEnum):
@@ -125,9 +128,6 @@ class RansacConfig:
     # the f64 core.
     draft_root_iters: int = 0
     draft_root_polish: int = 0
-    # Use the fused Pallas MSAC kernel for scoring in fixed-budget search
-    # (TPU only; forward-only paths).
-    use_pallas_scoring: bool = False
     # Preemptive two-stage scoring (fixed-budget search): score every model
     # on `prescreen` points first, fully score only the best `prescreen_keep`
     # fraction. 0 disables. The VPU elementwise tail of H·S·N Sampson

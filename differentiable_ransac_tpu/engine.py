@@ -43,8 +43,10 @@ from differentiable_ransac_tpu.samplers import (
 from differentiable_ransac_tpu.scoring import (
     magsac_score,
     msac_score,
+    ransac_score,
     rigid_magsac_score,
     rigid_msac_score,
+    rigid_ransac_score,
 )
 from differentiable_ransac_tpu.solvers import (
     essential_5pt_nister,
@@ -117,6 +119,10 @@ def _score(cfg: RansacConfig, points, models, threshold, point_mask=None):
                                       cfg.sigma_levels)
         return magsac_score(points, models, sigma_max, point_mask,
                             cfg.sigma_levels)
+    if cfg.scoring == ScoringKind.RANSAC:
+        if cfg.model == ModelKind.RIGID:
+            return rigid_ransac_score(points, models, threshold, point_mask)
+        return ransac_score(points, models, threshold, point_mask)
     if cfg.model == ModelKind.RIGID:
         return rigid_msac_score(points, models, threshold, point_mask)
     return msac_score(points, models, threshold, point_mask)
@@ -382,16 +388,6 @@ def ransac_fixed(
             "scores": scores,
             "models": flat,
         }
-    if (cfg.use_pallas_scoring and cfg.model != ModelKind.RIGID
-            and cfg.scoring == ScoringKind.MSAC):
-        from differentiable_ransac_tpu.pallas_kernels import msac_scores_pallas
-
-        scores = msac_scores_pallas(points, flat, threshold, point_mask)
-        scores = jnp.where(flat_valid, scores, -jnp.inf)
-        best_idx = jnp.argmax(scores)
-        # inlier mask only for the winner (cheap single-model pass)
-        _, masks1 = _score(cfg, points, flat[best_idx][None], threshold, point_mask)
-        best_mask = masks1[0]
     else:
         scores, masks = _score(cfg, points, flat, threshold, point_mask)
         scores = jnp.where(flat_valid, scores, -jnp.inf)
@@ -624,45 +620,28 @@ def _draw_samples(cfg: RansacConfig, points, logits, key, num_hypotheses):
     return samples, weights
 
 
-def ransac_test_fast(
+def _fast_search_loop(
     cfg: RansacConfig,
     points: jnp.ndarray,
     logits: jnp.ndarray,
     key: jax.Array,
-    threshold=None,
-    point_mask: Optional[jnp.ndarray] = None,
-    chunk: int = 512,
-    rescue_k: int = 64,
+    threshold,
+    point_mask: Optional[jnp.ndarray],
+    chunk: int,
+    rescue_k: int,
+    axis_name: Optional[str] = None,
 ):
-    """Adaptive best-model search at fixed-budget-engine speed.
+    """The adaptive f32 chunk loop of :func:`ransac_test_fast`.
 
-    Same semantics class as :func:`ransac_test` (the reference test branch,
-    ``ransac.py:109-200``: evaluate hypothesis chunks until the adaptive
-    bound ``ransac.py:202-215`` is met, then refit on inliers) but built
-    from the mixed-precision machinery of :func:`ransac_fixed_rescued`:
-
-    * each chunk solves its minimal samples with the **f32** cores
-      (4–8× faster than f64 on TPU) and ranks them on a strided point
-      subset (prescreen);
-    * the top ``rescue_k`` samples seen so far are carried across chunks
-      (a running top-k merge — fixed shapes, no growing buffers);
-    * the adaptive bound is driven by the inlier count of the best f32
-      model, fully scored once per chunk (1 model × N — negligible);
-    * after the loop, ONLY the carried top-k samples are re-solved at f64,
-      fully scored, and the winner is LO'd/refit.
-
-    Final model quality matches the all-f64 adaptive loop (ranking by
-    support is robust to the f32 tail error; the returned model is f64)
-    at a fraction of the cost. Chunks are ``chunk`` lanes wide instead of
-    the reference's 64, so the bound is checked more coarsely — it only
-    over-evaluates, never under-evaluates, relative to the reference.
-
-    Returns:
-        (best_model, best_mask (N,), best_score (), iterations ()).
+    Returns the final :class:`_FastState` (carried top-k samples +
+    iteration accounting). With ``axis_name`` set (hypothesis-sharded
+    execution under ``shard_map``), every shard runs its chunk loop in
+    LOCKSTEP: the strict-inlier count driving the adaptive bound is
+    ``pmax``-reduced over the axis each round, and ``iterations`` counts
+    the GLOBAL number of hypotheses evaluated per round
+    (``chunk · axis_size``) — so the termination decision is identical on
+    all shards and matches the single-device bound ± chunk granularity.
     """
-    if threshold is None:
-        threshold = cfg.threshold
-    threshold = jnp.asarray(threshold).astype(points.dtype)
     n = points.shape[0]
     m = cfg.sample_size
     d = points.shape[-1]
@@ -670,7 +649,6 @@ def ransac_test_fast(
 
     fast_cfg = cfg.replace(solver_precision=1)
     solver32 = _minimal_solver(fast_cfg)
-    solver64 = _minimal_solver(cfg.replace(solver_precision=2))
 
     # prescreen subset (shared across chunks so scores are comparable)
     pre = min(cfg.prescreen or 256, n)
@@ -726,6 +704,16 @@ def ransac_test_fast(
         _, mask1 = _score(_strict_cfg(cfg), points, chunk_best[None],
                           threshold, point_mask)
         inl = jnp.sum(mask1[0]).astype(st.best_inliers.dtype)
+        # If every model in the chunk is invalid (all sub_scores -inf),
+        # argmax picks lane 0's placeholder identity, whose strict count
+        # must not tighten the stopping bound.
+        inl = jnp.where(jnp.max(sub_scores) > -jnp.inf, inl, 0.0)
+        step = chunk
+        if axis_name is not None:
+            # Global bound: best strict support over ALL hyp shards this
+            # round; iteration accounting is global too.
+            inl = jax.lax.pmax(inl, axis_name)
+            step = chunk * jax.lax.psum(1, axis_name)
         best_inliers = jnp.maximum(st.best_inliers, inl)
         bound = _adaptive_iterations(cfg, best_inliers, float(n)).astype(
             st.max_iters.dtype
@@ -735,14 +723,25 @@ def ransac_test_fast(
             topk_samples=merged_samples[top_idx],
             topk_weights=merged_weights[top_idx],
             best_inliers=best_inliers,
-            iterations=st.iterations + chunk,
+            iterations=st.iterations + step,
             max_iters=jnp.minimum(st.max_iters, bound),
             key=k,
         )
 
-    st = jax.lax.while_loop(cond, body, init)
+    return jax.lax.while_loop(cond, body, init)
 
-    # f64 re-solve of the carried winners, full scoring, argmax
+
+def _fast_rescue_local(cfg: RansacConfig, points, threshold, point_mask,
+                       st: _FastState):
+    """f64 re-solve of the carried top-k samples + full scoring + argmax.
+
+    Returns ``(model, mask, score)`` of the best rescued model among the
+    samples THIS caller carried (the local winner under hypothesis
+    sharding; the global winner is a cross-shard argmax of the returned
+    scores).
+    """
+    model_dim = 3 if cfg.model != ModelKind.RIGID else 4
+    solver64 = _minimal_solver(cfg.replace(solver_precision=2))
     if cfg.weighted and cfg.sampler != SamplerKind.UNIFORM:
         models64, valid64 = jax.vmap(solver64)(st.topk_samples, st.topk_weights)
     else:
@@ -754,12 +753,66 @@ def ransac_test_fast(
     scores64, masks64 = _score(cfg, points, flat64, threshold, point_mask)
     scores64 = jnp.where(fv64, scores64, -jnp.inf)
     best = jnp.argmax(scores64)
+    return flat64[best], masks64[best], scores64[best]
 
+
+def ransac_test_fast(
+    cfg: RansacConfig,
+    points: jnp.ndarray,
+    logits: jnp.ndarray,
+    key: jax.Array,
+    threshold=None,
+    point_mask: Optional[jnp.ndarray] = None,
+    chunk: int = 512,
+    rescue_k: int = 64,
+):
+    """Adaptive best-model search at fixed-budget-engine speed.
+
+    Same semantics class as :func:`ransac_test` (the reference test branch,
+    ``ransac.py:109-200``: evaluate hypothesis chunks until the adaptive
+    bound ``ransac.py:202-215`` is met, then refit on inliers) but built
+    from the mixed-precision machinery of :func:`ransac_fixed_rescued`:
+
+    * each chunk solves its minimal samples with the **f32** cores
+      (4–8× faster than f64 on TPU) and ranks them on a strided point
+      subset (prescreen);
+    * the top ``rescue_k`` samples seen so far are carried across chunks
+      (a running top-k merge — fixed shapes, no growing buffers);
+    * the adaptive bound is driven by the inlier count of the best f32
+      model, fully scored once per chunk (1 model × N — negligible);
+    * after the loop, ONLY the carried top-k samples are re-solved at f64,
+      fully scored, and the winner is LO'd/refit.
+
+    Final model quality matches the all-f64 adaptive loop (ranking by
+    support is robust to the f32 tail error; the returned model is f64)
+    at a fraction of the cost. Chunks are ``chunk`` lanes wide instead of
+    the reference's 64, so the bound is checked more coarsely — it only
+    over-evaluates, never under-evaluates, relative to the reference.
+
+    LO timing note: :func:`ransac_test` applies LO whenever a new best
+    appears inside the loop (reference ``ransac.py:219``); here LO runs
+    ONCE, on the rescued winner after the loop. The mid-search LO
+    applications only matter through the final model and the adaptive
+    bound; the f64 rescue + keep-if-better refit recovers the former, and
+    the strict-support bound is unaffected because LO only improves the
+    winner this engine would carry anyway.
+
+    Returns:
+        (best_model, best_mask (N,), best_score (), iterations ()).
+    """
+    if threshold is None:
+        threshold = cfg.threshold
+    threshold = jnp.asarray(threshold).astype(points.dtype)
+
+    st = _fast_search_loop(cfg, points, logits, key, threshold, point_mask,
+                           chunk, rescue_k)
+    model, mask, score = _fast_rescue_local(cfg, points, threshold,
+                                            point_mask, st)
     final = _BestState(
-        score=scores64[best],
-        model=flat64[best],
-        mask=masks64[best],
-        inliers=jnp.sum(masks64[best]).astype(points.dtype),
+        score=score,
+        model=model,
+        mask=mask,
+        inliers=jnp.sum(mask).astype(points.dtype),
         iterations=st.iterations,
         max_iters=st.max_iters,
         key=st.key,

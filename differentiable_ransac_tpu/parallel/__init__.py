@@ -2,5 +2,6 @@ from differentiable_ransac_tpu.parallel.mesh import (
     initialize_distributed,
     make_mesh,
     sharded_ransac,
+    sharded_ransac_adaptive,
     sharded_match_loss_hypotheses,
 )

@@ -152,6 +152,102 @@ def sharded_ransac(
     return fn(points, logits, keys, thresholds, point_mask)
 
 
+def sharded_ransac_adaptive(
+    cfg: RansacConfig,
+    mesh: Mesh,
+    points: jnp.ndarray,
+    logits: jnp.ndarray,
+    keys: jax.Array,
+    thresholds: jnp.ndarray,
+    point_mask: Optional[jnp.ndarray] = None,
+    chunk: int = 512,
+    rescue_k: int = 64,
+):
+    """Multi-device ADAPTIVE search: ``ransac_test_fast`` over ``(pairs, hyp)``.
+
+    The eval-path semantics (reference ``ransac.py:109-215``: evaluate
+    hypothesis chunks until the adaptive bound is met, then refit) at
+    multi-chip scale:
+
+    * every ``hyp`` shard runs the f32 chunk loop in LOCKSTEP, drawing
+      disjoint samples (key folded with the shard index);
+    * the adaptive bound is driven by the GLOBAL strict-inlier best —
+      ``pmax`` over ``hyp`` each round — and ``iterations`` counts global
+      hypotheses (``chunk · n_hyp`` per round), so all shards terminate on
+      the same round, matching the single-device bound ± chunk granularity;
+    * each shard carries its own top-``rescue_k`` samples; after the loop
+      every shard re-solves its carry at f64 and fully scores it, and the
+      global winner is a deterministic cross-shard argmax
+      (lowest-shard-index tie-break);
+    * LO + the final keep-if-better refit run identically on all shards
+      from the selected winner (the LO key is derived from the per-pair
+      seed only, so shards stay in agreement).
+
+    Args:
+        cfg: static engine config (``max_iterations`` is the GLOBAL budget).
+        points: (B, N, D) with B divisible by the ``pairs`` axis.
+        logits: (B, N).
+        keys: (B,) uint32 per-pair seed material.
+        thresholds: (B,) focal-normalized thresholds.
+        point_mask: optional (B, N).
+        chunk: per-shard hypotheses per round.
+        rescue_k: per-shard carried samples.
+
+    Returns:
+        (best_models (B, 3, 3), best_masks (B, N), best_scores (B,),
+        iterations (B,) — global hypotheses evaluated per pair).
+    """
+    from differentiable_ransac_tpu.engine import (
+        _BestState,
+        _fast_rescue_local,
+        _fast_search_loop,
+        _local_optimization,
+        _refit_and_update,
+    )
+
+    def per_pair(pts, lg, seed, thr, pmask):
+        shard = jax.lax.axis_index("hyp")
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), shard)
+        thr = jnp.asarray(thr).astype(pts.dtype)
+        st = _fast_search_loop(cfg, pts, lg, key, thr, pmask, chunk,
+                               rescue_k, axis_name="hyp")
+        model, mask, score = _fast_rescue_local(cfg, pts, thr, pmask, st)
+        score, (model, mask) = _global_argmax_select(
+            score, (model, mask.astype(pts.dtype)), "hyp"
+        )
+        mask = mask > 0.5
+        final = _BestState(
+            score=score,
+            model=model,
+            mask=mask,
+            inliers=jnp.sum(mask).astype(pts.dtype),
+            iterations=st.iterations,
+            max_iters=st.max_iters,
+            # shard-uniform key: LO's inner draws must agree across shards
+            key=jax.random.fold_in(jax.random.PRNGKey(seed), 0x10),
+        )
+        if cfg.lo:
+            final = _local_optimization(cfg, pts, thr, pmask, final)
+        final = _refit_and_update(cfg, pts, thr, pmask, final)
+        return final.model, final.mask, final.score, final.iterations
+
+    def shard_fn(points_blk, logits_blk, keys_blk, thr_blk, pmask_blk):
+        return jax.vmap(per_pair)(points_blk, logits_blk, keys_blk, thr_blk,
+                                  pmask_blk)
+
+    if point_mask is None:
+        point_mask = jnp.ones(points.shape[:2], points.dtype)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("pairs"), P("pairs"), P("pairs"), P("pairs"), P("pairs")),
+        out_specs=(P("pairs"), P("pairs"), P("pairs"), P("pairs")),
+        check_vma=False,
+    )
+    return fn(points, logits, keys, thresholds, point_mask)
+
+
 def sharded_match_loss_hypotheses(
     cfg: RansacConfig,
     mesh: Mesh,
@@ -160,21 +256,39 @@ def sharded_match_loss_hypotheses(
     gt_models: jnp.ndarray,
     gt_masks: jnp.ndarray,
     keys: jax.Array,
+    score_points: Optional[jnp.ndarray] = None,
+    Ks: Optional[tuple] = None,
+    topk: int = 0,
 ):
     """Training-mode hypothesis generation + match loss over the mesh.
 
     Each ``hyp`` shard generates ``H / n_hyp`` hypotheses per pair and
     computes its partial symmetric-epipolar loss; partial sums are reduced
     with ``psum`` over ``hyp`` then averaged over ``pairs`` — numerically
-    equal to the single-device mean over all H hypotheses. Differentiable:
-    gradients flow back through the shard_map and its collectives.
+    equal to the single-device mean over all H hypotheses
+    (:func:`differentiable_ransac_tpu.losses.match_loss` with ``topk=0``).
+    Differentiable: gradients flow back through the shard_map and its
+    collectives.
 
     Args:
-        points: (B, N, 4) calibrated correspondences.
+        points: (B, N, 4) correspondences the SOLVER sees (calibrated for
+            E-mode; pixels for F-mode).
         logits: (B, N) sampler scores (gradient target).
         gt_models: (B, 3, 3).
         gt_masks: (B, N) GT inlier masks.
         keys: (B,) uint32 seeds.
+        score_points: optional (B, N, 4) coords the LOSS sees (calibrated
+            coords in F-mode, reference ``loss.py:119-120``); defaults to
+            ``points``.
+        Ks: optional ``(K1s, K2s)`` (B, 3, 3) pairs — when given, each F
+            hypothesis is lifted to E = K2ᵀ F K1 before the loss
+            (reference ``loss.py:117-118``).
+        topk: if > 0, average only the best hypotheses by mean error
+            (reference ``loss.py:147-150``). Under hypothesis sharding the
+            selection is per-shard top-⌈topk/n_hyp⌉ — a stratified
+            approximation of the global top-k (exact when hypothesis
+            quality is exchangeable across shards, which holds here: shards
+            draw IID samples from the same sampler).
 
     Returns:
         scalar loss.
@@ -182,40 +296,59 @@ def sharded_match_loss_hypotheses(
     from differentiable_ransac_tpu.engine import ransac_train
 
     n_hyp = mesh.shape["hyp"]
-    n_pairs = mesh.shape["pairs"]
     local_h = -(-cfg.num_hypotheses // n_hyp)
+    local_topk = min(-(-topk // n_hyp), local_h) if topk else 0
     local_cfg = cfg.replace(
         max_iterations=local_h, ransac_batch_size=min(cfg.ransac_batch_size, local_h)
     )
 
-    def per_pair(pts, lg, gt, gtm, seed):
+    def per_pair(pts, spts, lg, gt, gtm, seed, K1, K2):
         shard = jax.lax.axis_index("hyp")
         key = jax.random.fold_in(jax.random.PRNGKey(seed), shard)
         models, valid = ransac_train(local_cfg, pts, lg, gt, key)
+        if Ks is not None:
+            models = jnp.einsum("ji,hjk,kl->hil", K2, models, K1)
         # partial sums for a global mean over hypotheses
         from differentiable_ransac_tpu.ops.epipolar import symmetric_epipolar_squared
 
-        geod = symmetric_epipolar_squared(pts[:, :2], pts[:, 2:4], models)
+        geod = symmetric_epipolar_squared(spts[:, :2], spts[:, 2:4], models)
         e = jnp.minimum(geod, 1.0)
         gtm = gtm.astype(e.dtype)
         denom = jnp.maximum(jnp.sum(gtm), 1.0)
         per_h = jnp.sum(e * gtm[None, :], axis=-1) / denom
+        if local_topk:
+            ranked = jnp.where(valid, per_h, jnp.inf)
+            neg_top, _ = jax.lax.top_k(-ranked, local_topk)
+            vals = -neg_top
+            ok = jnp.isfinite(vals)
+            return (jnp.sum(jnp.where(ok, vals, 0.0)),
+                    jnp.sum(ok).astype(e.dtype))
         v = valid.astype(e.dtype)
         return jnp.sum(per_h * v), jnp.sum(v)
 
-    def shard_fn(points_blk, logits_blk, gt_blk, gtm_blk, keys_blk):
-        loss_sum, count = jax.vmap(per_pair)(points_blk, logits_blk, gt_blk, gtm_blk, keys_blk)
+    def shard_fn(points_blk, spts_blk, logits_blk, gt_blk, gtm_blk, keys_blk,
+                 K1_blk, K2_blk):
+        loss_sum, count = jax.vmap(per_pair)(
+            points_blk, spts_blk, logits_blk, gt_blk, gtm_blk, keys_blk,
+            K1_blk, K2_blk)
         loss_sum = jax.lax.psum(loss_sum, "hyp")   # (Bp,)
         count = jax.lax.psum(count, "hyp")
         per_pair_loss = loss_sum / jnp.maximum(count, 1.0)
         total = jax.lax.psum(jnp.sum(per_pair_loss), "pairs")
         return total[None] / points.shape[0]
 
+    if score_points is None:
+        score_points = points
+    B = points.shape[0]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=points.dtype), (B, 3, 3))
+    K1s, K2s = Ks if Ks is not None else (eye, eye)
+
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P("pairs"), P("pairs"), P("pairs"), P("pairs"), P("pairs")),
+        in_specs=(P("pairs"),) * 8,
         out_specs=P(),
         check_vma=False,
     )
-    return fn(points, logits, gt_models, gt_masks, keys)[0]
+    return fn(points, score_points, logits, gt_models, gt_masks, keys,
+              K1s, K2s)[0]

@@ -7,8 +7,10 @@ Numerically identical to the reference MSAC scorer
 
 TPU design: one fused evaluation of all H models against all N points — the
 Sampson numerator/denominator are two (H,3,3)×(3,N) MXU contractions; XLA
-fuses the elementwise tail. A Pallas kernel fusing the whole N×H pass in
-VMEM is the planned fast path for very large H·N.
+fuses the elementwise tail; for large H·N the prescreen path
+(``RansacConfig.prescreen``) cuts the elementwise tail ~N/prescreen×.
+(A Pallas VMEM-fused variant was prototyped and removed: Mosaic cannot
+compile through this environment's TPU tunnel — docs/BENCH_TPU.md.)
 """
 
 from __future__ import annotations
@@ -48,6 +50,40 @@ def msac_score(
         inliers = inliers & (point_mask > 0)
         soft = soft * point_mask
     return jnp.sum(soft, axis=-1), inliers
+
+
+def ransac_score(
+    matches: jnp.ndarray,
+    models: jnp.ndarray,
+    threshold,
+    point_mask: jnp.ndarray | None = None,
+):
+    """Plain RANSAC hard inlier count (the ``-s 0`` criterion): the number
+    of points with Sampson ``d² < ((3/2)·t)²`` — same support as the MSAC
+    scorer, count instead of truncated-quadratic sum."""
+    sq_threshold = msac_threshold(threshold)
+    d2 = sampson_squared(models, matches)
+    inliers = d2 < sq_threshold
+    if point_mask is not None:
+        inliers = inliers & (point_mask > 0)
+    return jnp.sum(inliers, axis=-1).astype(matches.dtype), inliers
+
+
+def rigid_ransac_score(
+    points: jnp.ndarray,
+    models: jnp.ndarray,
+    threshold,
+    point_mask: jnp.ndarray | None = None,
+):
+    """Plain RANSAC hard inlier count for rigid models over (N, 6) 3D
+    correspondences (transfer-distance support, count instead of soft sum)."""
+    from differentiable_ransac_tpu.solvers.rigid import rigid_squared_residual
+
+    d2, _ = rigid_squared_residual(points[:, :3], points[:, 3:], models)
+    inliers = d2 < threshold**2
+    if point_mask is not None:
+        inliers = inliers & (point_mask > 0)
+    return jnp.sum(inliers, axis=-1).astype(points.dtype), inliers
 
 
 def _sigma_marginal_weights(d2: jnp.ndarray, sigma_max, levels: int):

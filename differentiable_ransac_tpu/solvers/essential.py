@@ -136,7 +136,14 @@ def essential_5pt_nister(
         root_solver: degree-10 real-root backend — "aberth" (simultaneous
             iteration, default, fast) or "sturm" (isolation + bisection,
             guaranteed bracketing; the reference's StrumPolynomialSolver
-            capability, ``math_utils.py:111-501``).
+            capability, ``math_utils.py:111-501``). Caveat: the Sturm chain
+            counts DISTINCT real roots, so a repeated (multiplicity ≥ 2)
+            real root of the degree-10 polynomial yields fewer candidate
+            solutions than the Aberth backend on the same sample — a
+            measure-zero event for noisy minimal samples, and the RANSAC
+            layer is robust to a missing candidate (the sample simply ranks
+            lower); prefer "aberth" when exact solution multiplicity
+            matters.
         root_iters: Aberth iteration budget override (0 = backend default).
             A reduced "draft" budget is meant for f32 prescreen ranking in
             the fast engines, where the carried winners are re-solved at

@@ -211,6 +211,116 @@ def make_train_step(model: CLNet, tx, cfg: TrainConfig, ransac_cfg: RansacConfig
     return train_step
 
 
+def make_train_step_mesh(model: CLNet, tx, cfg: TrainConfig,
+                         ransac_cfg: RansacConfig, mesh):
+    """The end-to-end train step over a ``(pairs, hyp)`` device mesh — the
+    multi-chip counterpart of :func:`make_train_step`, used by
+    ``scripts/train_e2e.py --mesh`` (SURVEY §2.13: pairs = data
+    parallelism, hyp = hypothesis parallelism).
+
+    The CLNet forward, GT-mask computation and classification loss run as
+    ordinary jit code — XLA auto-shards them over the batch from the input
+    shardings (params replicated, batch on the ``pairs`` axis). The
+    hypothesis generation + match loss — the dominant FLOPs — runs under
+    ``shard_map`` via :func:`sharded_match_loss_hypotheses` over BOTH mesh
+    axes, so every device solves/scores ``H/n_hyp`` hypotheses for
+    ``B/n_pairs`` pairs. Gradients flow back through the collectives;
+    optimizer update is replicated (the psum-reduced grads are identical on
+    all devices).
+
+    The pose loss (w0) has no sharded counterpart yet — configs with
+    ``w0 != 0`` must use the single-device step.
+
+    Callers shard batch arrays with
+    ``jax.device_put(x, NamedSharding(mesh, P("pairs")))`` — see
+    ``train_e2e.py`` / ``__graft_entry__.dryrun_multichip``.
+    """
+    from differentiable_ransac_tpu.parallel import sharded_match_loss_hypotheses
+
+    if cfg.w0:
+        raise NotImplementedError(
+            "pose loss (w0) is not available under --mesh; use the "
+            "single-device train step")
+    fmat = ransac_cfg.fmat
+
+    def loss_fn(params, batch_stats, batch, key):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["correspondences"],
+            train=True,
+            mutable=["batch_stats"],
+        )
+        weights = select_prob_type(out, int(cfg.prob_type))
+        pts = _prepare_pair_points(batch, fmat)
+        B = pts.shape[0]
+        keys = jax.random.fold_in(key, 0)
+        seeds = jax.random.randint(
+            keys, (B,), 0, jnp.iinfo(jnp.int32).max
+        ).astype(jnp.uint32)
+        gt_model = batch["gt_F"] if fmat else batch["gt_E"]
+        gt_masks = jax.lax.stop_gradient(compute_gt_masks(batch, fmat))
+
+        feats = batch["correspondences"]
+        if fmat:
+            def to_calib(p1, p2, s1, s2, K1, K2):
+                a = epipolar.normalize_keypoints(epipolar.denormalize_pts(p1, s1), K1)
+                b = epipolar.normalize_keypoints(epipolar.denormalize_pts(p2, s2), K2)
+                return jnp.concatenate([a, b], axis=-1)
+            score_pts = jax.vmap(to_calib)(
+                feats[..., 0:2], feats[..., 2:4],
+                batch["im_size1"], batch["im_size2"], batch["K1"], batch["K2"]
+            )
+            Ks = (batch["K1"], batch["K2"])
+        else:
+            score_pts = None
+            Ks = None
+
+        total = jnp.asarray(0.0, jnp.float32)
+        metrics = {}
+        if cfg.w2:
+            l2 = sharded_match_loss_hypotheses(
+                ransac_cfg, mesh, pts, weights, gt_model, gt_masks, seeds,
+                score_points=score_pts, Ks=Ks,
+                topk=cfg.k if cfg.topk else 0,
+            )
+            total = total + cfg.w2 * l2
+            metrics["match_loss"] = l2
+        if cfg.w1:
+            l1 = jnp.mean(jax.vmap(classification_loss)(out["weights"], gt_masks))
+            total = total + cfg.w1 * l1
+            metrics["classification_loss"] = l1
+        metrics["loss"] = total
+        return total, (mutated.get("batch_stats", batch_stats), metrics)
+
+    @jax.jit
+    def train_step(state: TrainState, batch, key):
+        (loss, (new_stats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, key)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        metrics["grad_norm"] = gnorm
+        ok = jnp.isfinite(gnorm)
+        params = jax.tree.map(lambda a, b: jnp.where(ok, a, b), params, state.params)
+        new_opt = jax.tree.map(
+            lambda a, b: jnp.where(ok, a, b) if hasattr(a, "shape") and a.shape == getattr(b, "shape", None) else a,
+            new_opt, state.opt_state,
+        )
+        return TrainState(params, new_stats, new_opt, state.step + 1), metrics
+
+    return train_step
+
+
+def shard_batch(batch, mesh):
+    """Place a batch dict on the ``pairs`` axis of ``mesh`` (replicating
+    nothing — every array's leading dim is the pair dim)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    s = NamedSharding(mesh, P("pairs"))
+    return {k: jax.device_put(jnp.asarray(v), s) for k, v in batch.items()}
+
+
 def make_train_step_rigid(model: CLNet, tx, cfg: TrainConfig, ransac_cfg: RansacConfig):
     """3D-registration train step (reference ``train_point.py:9-30``): the
     loss is the mean squared residual of all hypotheses."""

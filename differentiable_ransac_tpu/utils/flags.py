@@ -90,8 +90,8 @@ def configs_from_args(args) -> tuple[TrainConfig, RansacConfig]:
         train=bool(args.tr),
         lo=args.lo,
         precision=args.precision,
-        scoring=(ScoringKind.MAGSAC if getattr(args, "scoring", 1) == 2
-                 else ScoringKind.MSAC),
+        scoring={0: ScoringKind.RANSAC, 2: ScoringKind.MAGSAC}.get(
+            getattr(args, "scoring", 1), ScoringKind.MSAC),
         sigma_max=getattr(args, "sigma_max", 0.0),
     )
     tcfg = TrainConfig(

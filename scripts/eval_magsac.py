@@ -36,9 +36,33 @@ from differentiable_ransac_tpu.utils import MetricsLogger, build_parser, configs
 
 
 def main():
-    args = build_parser("TPU ∇-RANSAC + native σ-consensus (SOTA path)").parse_args()
+    parser = build_parser("TPU ∇-RANSAC + native σ-consensus (SOTA path)")
+    parser.add_argument("--mesh", default=None,
+                        help="multi-chip (pairs,hyp) mesh: 'P,H' or 'auto' "
+                             "(all local devices on hyp); the adaptive "
+                             "search is hypothesis-sharded with a global "
+                             "stopping bound. Requires -bs divisible by P.")
+    args = parser.parse_args()
     args.tr = 0
     tcfg, rcfg = configs_from_args(args)
+
+    mesh = None
+    if args.mesh:
+        from differentiable_ransac_tpu.parallel import make_mesh
+
+        n_dev = len(jax.devices())
+        if args.mesh == "auto":
+            p_ax, h_ax = 1, n_dev
+        else:
+            p_ax, h_ax = (int(x) for x in args.mesh.split(","))
+        if p_ax * h_ax <= 1:
+            print(f"--mesh {args.mesh}: single device — using the "
+                  "single-device step")
+        else:
+            assert tcfg.batch_size % p_ax == 0, (
+                f"-bs {tcfg.batch_size} not divisible by pairs axis {p_ax}")
+            mesh = make_mesh(pairs=p_ax, hyp=h_ax)
+            print(f"mesh: {dict(mesh.shape)} over {n_dev} devices")
     if not native.available():
         print("WARNING: native σ-consensus library unavailable (run `make -C csrc`); "
               "falling back to the pure-TPU refit.")
@@ -52,44 +76,50 @@ def main():
     # SOTA search semantics (reference test_magsac.py): σ-consensus model
     # selection during the search (-s 2, wired via configs_from_args) +
     # PROSAC-style ordering by predicted rank (-prosac 1).
-    if rcfg.sigma_max < 0:
-        # -smax -1: estimate σ_max from the data (detector-level noise
-        # scale) via a pilot search on the first scene's first batch —
-        # see PARITY.md "misspecified threshold" cells for the effect.
+    auto_sigma = rcfg.sigma_max < 0
+    if auto_sigma:
+        rcfg = rcfg.replace(sigma_max=0.0)
+
+    def estimate_scene_sigma(folder):
+        """-smax -1: per-SCENE σ_max estimate (detector-level noise varies
+        scene to scene on real PhotoTourism) via a pilot search on the
+        scene's first batch; the median over its pairs is quantized to
+        0.25·t steps so scenes with equal σ̂ share the jit cache."""
         from differentiable_ransac_tpu.engine import (
             normalized_threshold, pilot_sigma_max,
         )
         from differentiable_ransac_tpu.train import _prepare_pair_points
 
-        for scene in scenes:
-            folder = os.path.join(args.data_path, scene, "test_data/")
-            if not os.path.isdir(folder):
-                continue
-            pilot_ds = TwoViewRecords([folder], tcfg.snn_threshold,
-                                      tcfg.nfeatures, rcfg.fmat)
-            batch = next(iter(pilot_ds.batches(tcfg.batch_size)))
-            pts = _prepare_pair_points(
-                {k: jnp.asarray(v) for k, v in batch.items()}, rcfg.fmat)
-            if rcfg.fmat:
-                thr = jnp.full((pts.shape[0],), rcfg.threshold, pts.dtype)
-            else:
-                thr = jax.vmap(
-                    lambda K1, K2: normalized_threshold(rcfg, K1, K2)
-                )(jnp.asarray(batch["K1"]), jnp.asarray(batch["K2"])
-                  ).astype(pts.dtype)
-            mults = jax.jit(jax.vmap(
-                lambda p, t, k: pilot_sigma_max(
-                    rcfg, p, jnp.zeros(p.shape[0], p.dtype), k, threshold=t)
-            ))(pts, thr,
-               jax.random.split(jax.random.PRNGKey(7), pts.shape[0]))
-            auto = round(float(np.median(np.asarray(mults))), 2)
-            print(f"auto sigma_max = {auto} x threshold (from {scene})")
-            rcfg = rcfg.replace(sigma_max=auto)
-            break
+        pilot_ds = TwoViewRecords([folder], tcfg.snn_threshold,
+                                  tcfg.nfeatures, rcfg.fmat)
+        batch = next(iter(pilot_ds.batches(tcfg.batch_size)))
+        pts = _prepare_pair_points(
+            {k: jnp.asarray(v) for k, v in batch.items()}, rcfg.fmat)
+        if rcfg.fmat:
+            thr = jnp.full((pts.shape[0],), rcfg.threshold, pts.dtype)
         else:
-            rcfg = rcfg.replace(sigma_max=0.0)
-    eval_fn = make_eval_step(model, rcfg, int(tcfg.prob_type),
-                             prosac=bool(getattr(args, "prosac", 0)))
+            thr = jax.vmap(
+                lambda K1, K2: normalized_threshold(rcfg, K1, K2)
+            )(jnp.asarray(batch["K1"]), jnp.asarray(batch["K2"])
+              ).astype(pts.dtype)
+        mults = jax.jit(jax.vmap(
+            lambda p, t, k: pilot_sigma_max(
+                rcfg, p, jnp.zeros(p.shape[0], p.dtype), k, threshold=t)
+        ))(pts, thr,
+           jax.random.split(jax.random.PRNGKey(7), pts.shape[0]))
+        return max(round(float(np.median(np.asarray(mults))) * 4) / 4, 0.25)
+
+    prosac = bool(getattr(args, "prosac", 0))
+
+    def build_eval_fn(cfg):
+        if mesh is not None:
+            from differentiable_ransac_tpu.evaluate import make_eval_step_mesh
+
+            return make_eval_step_mesh(model, cfg, mesh, int(tcfg.prob_type),
+                                       prosac=prosac)
+        return make_eval_step(model, cfg, int(tcfg.prob_type), prosac=prosac)
+
+    eval_fn = None if auto_sigma else build_eval_fn(rcfg)
     logger = MetricsLogger(args.out_dir, session_string("magsac", tcfg, rcfg))
 
     for scene in scenes:
@@ -97,10 +127,23 @@ def main():
         if not os.path.isdir(folder):
             print(f"skip {scene}: no data at {folder}")
             continue
+        scene_rcfg = rcfg
+        if auto_sigma:
+            auto = estimate_scene_sigma(folder)
+            line = f"{scene}: auto sigma_max = {auto} x threshold"
+            print(line)
+            logger.log_text(line)
+            scene_rcfg = rcfg.replace(sigma_max=auto)
+            eval_fn = build_eval_fn(scene_rcfg)
         ds = TwoViewRecords([folder], tcfg.snn_threshold, tcfg.nfeatures, rcfg.fmat)
         results = []
         for batch in ds.batches(tcfg.batch_size):
-            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            if mesh is not None:
+                from differentiable_ransac_tpu.train import shard_batch
+
+                jb = shard_batch(batch, mesh)
+            else:
+                jb = {k: jnp.asarray(v) for k, v in batch.items()}
             models, masks, scores, iters, w = eval_fn(
                 state.params, state.batch_stats, jb, jax.random.PRNGKey(0)
             )
@@ -116,7 +159,7 @@ def main():
                         pts = feats[:, :4].copy()
                         pts[:, 0:2] = pts[:, 0:2] * s1.max() + np.array([s1[1] / 2, s1[0] / 2])
                         pts[:, 2:4] = pts[:, 2:4] * s2.max() + np.array([s2[1] / 2, s2[0] / 2])
-                        smax = rcfg.threshold * (rcfg.sigma_max or 1.0)
+                        smax = scene_rcfg.threshold * (scene_rcfg.sigma_max or 1.0)
                         polished, q = native.sigma_consensus_polish(
                             pts, models[b], sigma_max=smax, essential=False
                         )
@@ -124,7 +167,7 @@ def main():
                         pts = feats[:, :4]
                         focal = (batch["K1"][b][0, 0] + batch["K1"][b][1, 1]
                                  + batch["K2"][b][0, 0] + batch["K2"][b][1, 1]) / 4
-                        smax = rcfg.threshold * (rcfg.sigma_max or 1.0)
+                        smax = scene_rcfg.threshold * (scene_rcfg.sigma_max or 1.0)
                         polished, q = native.sigma_consensus_polish(
                             pts, models[b], sigma_max=smax / focal, essential=True
                         )

@@ -27,15 +27,19 @@ def main():
     parser.add_argument("--num_points", "-max", type=int, default=4000)
     parser.add_argument("--use_network", "-us", type=int, default=1,
                         help="0: uniform weights, 1: CLNet weights")
-    args = parser.parse_args()
-    args.tr = 0
-    tcfg, rcfg = configs_from_args(args)
     # -t semantics for 3D follow the reference's ``sigma_th=opt.threshold``
     # hand-off (``test_magsac_point.py:46-53``) — a user-provided -t is the
-    # inlier threshold in metric (scene) units. The parser default (0.75,
-    # tuned for pixel residuals) is senseless for 3D, so only then fall
-    # back to 0.05, the scale of the solver residual bound (rigid.py).
-    thr3d = args.threshold if args.threshold != 0.75 else 0.05
+    # inlier threshold in metric (scene) units. The shared parser default
+    # (0.75, tuned for pixel residuals) is senseless for 3D, so use a None
+    # sentinel: only when -t was NOT passed fall back to 0.05, the scale of
+    # the solver residual bound (rigid.py). An explicit ``-t 0.75`` is
+    # honored.
+    parser.set_defaults(threshold=None)
+    args = parser.parse_args()
+    args.tr = 0
+    thr3d = args.threshold if args.threshold is not None else 0.05
+    args.threshold = thr3d
+    tcfg, rcfg = configs_from_args(args)
     rcfg = rcfg.replace(model=ModelKind.RIGID, threshold=thr3d, max_iterations=5000)
 
     ds = ThreeDRecords([os.path.join(args.data_path, "test/")], num=args.num_points)

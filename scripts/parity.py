@@ -565,6 +565,13 @@ def main():
             print(f"dumped models to {args.dump}")
     else:
         ref = None
+        if args.dump:
+            # ours-only dump (cross_metric_audit.py accepts a missing
+            # ref_models via an empty array)
+            np.savez(args.dump, ref_models=np.zeros((0, 3, 3)),
+                     our_models=our_models,
+                     our_errs=np.asarray(our_errs if our_errs else []))
+            print(f"dumped models to {args.dump}")
 
     if args.out:
         mode = "F" if args.fmat else "E"

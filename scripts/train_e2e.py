@@ -3,6 +3,10 @@
 
 Example (the reference's best config, ``README.md:144``):
     python scripts/train_e2e.py -pth <data> -nf 2000 -bs 32 -sam 2 -w2 1 -tr 1
+
+Multi-chip: ``--mesh P,H`` (or ``--mesh auto`` for all local devices)
+shards the step over a ``(pairs, hyp)`` mesh — batches on the data axis,
+hypotheses on the hyp axis (SURVEY §2.13); requires ``-bs`` divisible by P.
 """
 
 import os
@@ -34,9 +38,32 @@ def main():
                         help="resume from the latest orbax checkpoint in the "
                              "session dir (full state: params, opt, step, "
                              "RNG, data position)")
+    parser.add_argument("--mesh", default=None,
+                        help="multi-chip (pairs,hyp) mesh: 'P,H' or 'auto' "
+                             "(all local devices on hyp). Requires -bs "
+                             "divisible by P; falls back to single-device "
+                             "when only one device is present.")
     args = parser.parse_args()
     args.tr = 1
     tcfg, rcfg = configs_from_args(args)
+
+    mesh = None
+    if args.mesh:
+        from differentiable_ransac_tpu.parallel import make_mesh
+
+        n_dev = len(jax.devices())
+        if args.mesh == "auto":
+            p_ax, h_ax = 1, n_dev
+        else:
+            p_ax, h_ax = (int(x) for x in args.mesh.split(","))
+        if p_ax * h_ax <= 1:
+            print(f"--mesh {args.mesh}: single device — using the "
+                  "single-device step")
+        else:
+            assert tcfg.batch_size % p_ax == 0, (
+                f"-bs {tcfg.batch_size} not divisible by pairs axis {p_ax}")
+            mesh = make_mesh(pairs=p_ax, hyp=h_ax)
+            print(f"mesh: {dict(mesh.shape)} over {n_dev} devices")
 
     train_dirs = [os.path.join(args.data_path, args.datasets, "train_data/")]
     valid_dirs = [os.path.join(args.data_path, args.datasets, "valid_data/")]
@@ -51,7 +78,12 @@ def main():
     model, state = create_train_state(jax.random.PRNGKey(tcfg.seed), tcfg, tcfg.nfeatures, tx)
     if args.model:
         state = load_checkpoint(args.model, state)
-    step_fn = make_train_step(model, tx, tcfg, rcfg)
+    if mesh is not None:
+        from differentiable_ransac_tpu.train import make_train_step_mesh
+
+        step_fn = make_train_step_mesh(model, tx, tcfg, rcfg, mesh)
+    else:
+        step_fn = make_train_step(model, tx, tcfg, rcfg)
 
     session = session_string("e2e", tcfg, rcfg)
     logger = MetricsLogger(args.out_dir, session)
@@ -76,7 +108,12 @@ def main():
                              seed=tcfg.seed + epoch, skip=skip)
         ):
             key, sub = jax.random.split(key)
-            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            if mesh is not None:
+                from differentiable_ransac_tpu.train import shard_batch
+
+                jb = shard_batch(batch, mesh)
+            else:
+                jb = {k: jnp.asarray(v) for k, v in batch.items()}
             state, metrics = step_fn(state, jb, sub)
             if int(state.step) % 10 == 0:
                 logger.log(int(state.step), {k: float(v) for k, v in metrics.items()},

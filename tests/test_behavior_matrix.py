@@ -6,6 +6,12 @@ weighted 5PC train, lo=3 essential, PROSAC and fp16 had no coverage).
 Budgets are tiny (N=64, few iterations, f32 cores) — these are
 does-it-run-and-stay-finite checks, not accuracy tests (those live in
 test_engine*/test_solvers).
+
+The default suite's "2 skipped" are the two weighted×UNIFORM matrix cells
+below: weighted minimal solves consume the sampler's per-point soft
+weights, which the uniform sampler doesn't produce — an invalid flag
+combination in the reference too (its weighted path reads the Gumbel
+soft assignment, ``model_cl.py``), not missing coverage.
 """
 import numpy as np
 import jax

@@ -101,3 +101,44 @@ def test_msac_point_mask_excludes_padding():
 
 def test_msac_threshold_formula():
     assert abs(msac_threshold(2.0) - 9.0) < 1e-9
+
+
+def test_ransac_score_is_hard_inlier_count():
+    from differentiable_ransac_tpu.scoring import ransac_score
+
+    p = two_view_problem(n_points=200, outlier_ratio=0.4, seed=6)
+    m = jnp.asarray(p["matches"])
+    E = jnp.asarray(p["E"])[None]
+    scores, masks = ransac_score(m, E, 0.001)
+    # the hard score IS the inlier count, and the support is the MSAC mask
+    assert float(scores[0]) == float(np.asarray(masks)[0].sum())
+    _, msac_masks = msac_score(m, E, 0.001)
+    np.testing.assert_array_equal(np.asarray(masks), np.asarray(msac_masks))
+
+
+def test_scoring_flag_zero_maps_to_ransac_kind():
+    from differentiable_ransac_tpu.config import ScoringKind
+    from differentiable_ransac_tpu.utils import build_parser, configs_from_args
+
+    for flag, kind in ((0, ScoringKind.RANSAC), (1, ScoringKind.MSAC),
+                       (2, ScoringKind.MAGSAC)):
+        args = build_parser("t").parse_args(["-s", str(flag)])
+        _, rcfg = configs_from_args(args)
+        assert rcfg.scoring == kind
+
+
+def test_engine_runs_with_ransac_scoring():
+    from differentiable_ransac_tpu.config import (
+        ModelKind, RansacConfig, SamplerKind, ScoringKind,
+    )
+    from differentiable_ransac_tpu.engine import ransac_fixed
+
+    p = two_view_problem(n_points=100, noise=0.5, outlier_ratio=0.3, seed=7)
+    cfg = RansacConfig(model=ModelKind.ESSENTIAL, sampler=SamplerKind.UNIFORM,
+                       scoring=ScoringKind.RANSAC)
+    out = ransac_fixed(cfg, jnp.asarray(p["matches"]),
+                       jnp.zeros(100, jnp.float32), jax.random.PRNGKey(0),
+                       threshold=0.002, num_hypotheses=128)
+    assert np.isfinite(float(out["best_score"]))
+    # best model recovers a majority of true inliers
+    assert np.asarray(out["best_mask"])[p["inlier_mask"]].mean() > 0.5

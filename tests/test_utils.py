@@ -77,3 +77,15 @@ def test_metrics_logger(tmp_path):
     row = json.loads(lines[0])
     assert row["train/loss"] == 0.5 and row["step"] == 1
     assert (tmp_path / "sess" / "test.txt").read_text().startswith("scene:")
+
+
+def test_package_forces_true_f32_matmuls():
+    """Importing the package must pin matmul precision to 'highest': TPU's
+    default single-bf16-pass f32 contractions collapse pixel-scale epipolar
+    algebra (measured: F1 0.648 -> 0.151 on identical records, PARITY.md
+    round-3 note)."""
+    import jax
+
+    import differentiable_ransac_tpu  # noqa: F401 — import applies config
+
+    assert str(jax.config.jax_default_matmul_precision) == "highest"
