@@ -108,12 +108,19 @@ def _nonminimal_solver(cfg: RansacConfig):
     return rigid_nonminimal
 
 
-def _score(cfg: RansacConfig, points, models, threshold, point_mask=None):
+def _score(cfg: RansacConfig, points, models, threshold, point_mask=None,
+           sigma_mult=None):
     """Score models per ``cfg.scoring``: MSAC support or σ-consensus
     (MAGSAC) quality. ``threshold`` is the focal-normalized inlier
-    threshold; in MAGSAC mode σ_max = threshold · cfg.sigma_max."""
+    threshold; in MAGSAC mode σ_max = threshold · σ-multiplier, where the
+    multiplier is the TRACED ``sigma_mult`` when given (so per-scene /
+    per-dataset auto-σ̂ shares one jit cache — VERDICT r3 weak #7) and the
+    static ``cfg.sigma_max`` otherwise."""
     if cfg.scoring == ScoringKind.MAGSAC:
-        sigma_max = threshold * (cfg.sigma_max if cfg.sigma_max > 0 else 1.0)
+        if sigma_mult is not None:
+            sigma_max = threshold * sigma_mult
+        else:
+            sigma_max = threshold * (cfg.sigma_max if cfg.sigma_max > 0 else 1.0)
         if cfg.model == ModelKind.RIGID:
             return rigid_magsac_score(points, models, sigma_max, point_mask,
                                       cfg.sigma_levels)
@@ -258,6 +265,7 @@ def ransac_fixed_rescued(
     point_mask: Optional[jnp.ndarray] = None,
     num_hypotheses: Optional[int] = None,
     rescue_k: int = 64,
+    sigma_mult=None,
 ):
     """Mixed-precision fixed-budget search: f32 solver cores rank ALL
     hypothesis samples (4-8× faster than f64 on TPU), then the top
@@ -302,7 +310,7 @@ def ransac_fixed_rescued(
     stride = max(1, n // pre)
     sub = points[::stride][:pre]
     sub_mask = None if point_mask is None else point_mask[::stride][:pre]
-    sub_scores, _ = _score(cfg, sub, flat32, threshold, sub_mask)
+    sub_scores, _ = _score(cfg, sub, flat32, threshold, sub_mask, sigma_mult)
     sub_scores = jnp.where(fv32, sub_scores, -jnp.inf)
     # best solution-score per SAMPLE, then top-k samples
     per_sample = jnp.max(sub_scores.reshape(H, S), axis=-1)
@@ -318,7 +326,8 @@ def ransac_fixed_rescued(
         models64, valid64 = jax.vmap(solver64)(rs)
     flat64 = models64.reshape((-1, 3, 3))
     fv64 = valid64.reshape(-1)
-    scores64, masks64 = _score(cfg, points, flat64, threshold, point_mask)
+    scores64, masks64 = _score(cfg, points, flat64, threshold, point_mask,
+                               sigma_mult)
     scores64 = jnp.where(fv64, scores64, -jnp.inf)
     best = jnp.argmax(scores64)
     return {
@@ -339,6 +348,7 @@ def ransac_fixed(
     threshold=None,
     point_mask: Optional[jnp.ndarray] = None,
     num_hypotheses: Optional[int] = None,
+    sigma_mult=None,
 ):
     """Fixed-budget best-model search: ALL hypotheses in one vectorized pass.
 
@@ -367,12 +377,13 @@ def ransac_fixed(
         stride = n // cfg.prescreen
         sub = points[:: stride][: cfg.prescreen]
         sub_mask = None if point_mask is None else point_mask[::stride][: cfg.prescreen]
-        sub_scores, _ = _score(cfg, sub, flat, threshold, sub_mask)
+        sub_scores, _ = _score(cfg, sub, flat, threshold, sub_mask, sigma_mult)
         sub_scores = jnp.where(flat_valid, sub_scores, -jnp.inf)
         keep = max(32, int(flat.shape[0] * cfg.prescreen_keep))
         _, top_idx = jax.lax.top_k(sub_scores, keep)
         cand = flat[top_idx]
-        scores_k, masks_k = _score(cfg, points, cand, threshold, point_mask)
+        scores_k, masks_k = _score(cfg, points, cand, threshold, point_mask,
+                                   sigma_mult)
         scores_k = jnp.where(flat_valid[top_idx], scores_k, -jnp.inf)
         best_k = jnp.argmax(scores_k)
         best_idx = top_idx[best_k]
@@ -389,7 +400,8 @@ def ransac_fixed(
             "models": flat,
         }
     else:
-        scores, masks = _score(cfg, points, flat, threshold, point_mask)
+        scores, masks = _score(cfg, points, flat, threshold, point_mask,
+                               sigma_mult)
         scores = jnp.where(flat_valid, scores, -jnp.inf)
         best_idx = jnp.argmax(scores)
         best_mask = masks[best_idx]
@@ -404,7 +416,7 @@ def ransac_fixed(
 
 
 def refit_best(cfg: RansacConfig, points, best_model, best_mask, best_score,
-               threshold, point_mask=None):
+               threshold, point_mask=None, sigma_mult=None):
     """Final non-minimal refit on inliers, keep-if-better
     (reference ``ransac.py:148-195``)."""
     state = _BestState(
@@ -417,7 +429,8 @@ def refit_best(cfg: RansacConfig, points, best_model, best_mask, best_score,
         key=jax.random.PRNGKey(0),
     )
     threshold = jnp.asarray(threshold).astype(points.dtype)
-    state = _refit_and_update(cfg, points, threshold, point_mask, state)
+    state = _refit_and_update(cfg, points, threshold, point_mask, state,
+                              sigma_mult=sigma_mult)
     return state.model, state.mask, state.score
 
 
@@ -493,7 +506,8 @@ def _adaptive_iterations(cfg: RansacConfig, inlier_number, point_number):
     return jnp.where(fail >= 1.0 - cfg.eps, float(cfg.max_iterations), bound)
 
 
-def _support_weights(cfg, points, threshold, point_mask, state):
+def _support_weights(cfg, points, threshold, point_mask, state,
+                     sigma_mult=None):
     """Per-point refit weights from the current winner's support.
 
     MSAC mode: the binary inlier mask (the reference's refit support,
@@ -506,7 +520,10 @@ def _support_weights(cfg, points, threshold, point_mask, state):
         from differentiable_ransac_tpu.scoring import _sigma_marginal_weights
         from differentiable_ransac_tpu.ops.epipolar import sampson_squared
 
-        sigma_max = threshold * (cfg.sigma_max if cfg.sigma_max > 0 else 1.0)
+        if sigma_mult is not None:
+            sigma_max = threshold * sigma_mult
+        else:
+            sigma_max = threshold * (cfg.sigma_max if cfg.sigma_max > 0 else 1.0)
         if cfg.model == ModelKind.RIGID:
             from differentiable_ransac_tpu.solvers.rigid import rigid_squared_residual
 
@@ -523,7 +540,8 @@ def _support_weights(cfg, points, threshold, point_mask, state):
     return state.mask.astype(points.dtype)
 
 
-def _refit_and_update(cfg, points, threshold, point_mask, state, weights=None):
+def _refit_and_update(cfg, points, threshold, point_mask, state, weights=None,
+                      sigma_mult=None):
     """Iterated non-minimal refit on the winner's support; keep-if-better.
 
     ``cfg.refit_rounds == 1`` is the reference's single final refit
@@ -535,11 +553,12 @@ def _refit_and_update(cfg, points, threshold, point_mask, state, weights=None):
     nonminimal = _nonminimal_solver(cfg)
 
     def one_round(st):
-        w = _support_weights(cfg, points, threshold, point_mask, st)
+        w = _support_weights(cfg, points, threshold, point_mask, st, sigma_mult)
         if weights is not None:
             w = w * weights
         model = nonminimal(points, w)
-        scores, masks = _score(cfg, points, model[None], threshold, point_mask)
+        scores, masks = _score(cfg, points, model[None], threshold, point_mask,
+                               sigma_mult)
         better = (scores[0] > st.score) & jnp.all(jnp.isfinite(model))
         return st._replace(
             score=jnp.where(better, scores[0], st.score),
@@ -553,7 +572,8 @@ def _refit_and_update(cfg, points, threshold, point_mask, state, weights=None):
     return state
 
 
-def _local_optimization(cfg: RansacConfig, points, threshold, point_mask, state):
+def _local_optimization(cfg: RansacConfig, points, threshold, point_mask,
+                        state, sigma_mult=None):
     """LO on a new best (reference ``ransac.py:217-299``).
 
     lo=1: single LSQ refit; lo=2: iterated (lo_iters) refits with
@@ -564,7 +584,8 @@ def _local_optimization(cfg: RansacConfig, points, threshold, point_mask, state)
         iters = 1 if cfg.lo == 1 else cfg.lo_iters
 
         def body(_, st):
-            return _refit_and_update(cfg, points, threshold, point_mask, st)
+            return _refit_and_update(cfg, points, threshold, point_mask, st,
+                                     sigma_mult=sigma_mult)
 
         return jax.lax.fori_loop(0, iters, body, state)
 
@@ -581,7 +602,8 @@ def _local_optimization(cfg: RansacConfig, points, threshold, point_mask, state)
             _, idx = jax.lax.top_k(g, sample_size)
             sample = points[idx]
             model = _nonminimal_solver(cfg)(sample, None)
-            scores, masks = _score(cfg, points, model[None], threshold, point_mask)
+            scores, masks = _score(cfg, points, model[None], threshold,
+                                   point_mask, sigma_mult)
             better = (scores[0] > st.score) & jnp.all(jnp.isfinite(model))
             return st._replace(
                 score=jnp.where(better, scores[0], st.score),
@@ -630,6 +652,7 @@ def _fast_search_loop(
     chunk: int,
     rescue_k: int,
     axis_name: Optional[str] = None,
+    sigma_mult=None,
 ):
     """The adaptive f32 chunk loop of :func:`ransac_test_fast`.
 
@@ -682,7 +705,8 @@ def _fast_search_loop(
         S = models32.shape[1]
         flat32 = models32.reshape((-1, model_dim, model_dim))
         fv32 = valid32.reshape(-1)
-        sub_scores, _ = _score(cfg, sub, flat32, threshold, sub_mask)
+        sub_scores, _ = _score(cfg, sub, flat32, threshold, sub_mask,
+                               sigma_mult)
         sub_scores = jnp.where(fv32, sub_scores, -jnp.inf)
         per_sample = jnp.max(sub_scores.reshape(chunk, S), axis=-1)
 
@@ -732,7 +756,7 @@ def _fast_search_loop(
 
 
 def _fast_rescue_local(cfg: RansacConfig, points, threshold, point_mask,
-                       st: _FastState):
+                       st: _FastState, sigma_mult=None):
     """f64 re-solve of the carried top-k samples + full scoring + argmax.
 
     Returns ``(model, mask, score)`` of the best rescued model among the
@@ -750,7 +774,8 @@ def _fast_rescue_local(cfg: RansacConfig, points, threshold, point_mask,
     fv64 = valid64.reshape(-1)
     # samples never merged in (score -inf) hold zero matrices: mask them
     fv64 = fv64 & (jnp.repeat(st.topk_scores, models64.shape[1]) > -jnp.inf)
-    scores64, masks64 = _score(cfg, points, flat64, threshold, point_mask)
+    scores64, masks64 = _score(cfg, points, flat64, threshold, point_mask,
+                               sigma_mult)
     scores64 = jnp.where(fv64, scores64, -jnp.inf)
     best = jnp.argmax(scores64)
     return flat64[best], masks64[best], scores64[best]
@@ -765,6 +790,7 @@ def ransac_test_fast(
     point_mask: Optional[jnp.ndarray] = None,
     chunk: int = 512,
     rescue_k: int = 64,
+    sigma_mult=None,
 ):
     """Adaptive best-model search at fixed-budget-engine speed.
 
@@ -805,9 +831,9 @@ def ransac_test_fast(
     threshold = jnp.asarray(threshold).astype(points.dtype)
 
     st = _fast_search_loop(cfg, points, logits, key, threshold, point_mask,
-                           chunk, rescue_k)
+                           chunk, rescue_k, sigma_mult=sigma_mult)
     model, mask, score = _fast_rescue_local(cfg, points, threshold,
-                                            point_mask, st)
+                                            point_mask, st, sigma_mult)
     final = _BestState(
         score=score,
         model=model,
@@ -818,8 +844,10 @@ def ransac_test_fast(
         key=st.key,
     )
     if cfg.lo:
-        final = _local_optimization(cfg, points, threshold, point_mask, final)
-    final = _refit_and_update(cfg, points, threshold, point_mask, final)
+        final = _local_optimization(cfg, points, threshold, point_mask, final,
+                                    sigma_mult)
+    final = _refit_and_update(cfg, points, threshold, point_mask, final,
+                              sigma_mult=sigma_mult)
     return final.model, final.mask, final.score, final.iterations
 
 
@@ -830,6 +858,7 @@ def ransac_test(
     key: jax.Array,
     threshold=None,
     point_mask: Optional[jnp.ndarray] = None,
+    sigma_mult=None,
 ):
     """Adaptive best-model search (reference test branch ``ransac.py:109-200``).
 
@@ -872,7 +901,8 @@ def ransac_test(
         models, valid, _ = _draw_and_solve(cfg, points, logits, sub, chunk)
         flat = models.reshape((-1,) + models.shape[2:])
         flat_valid = valid.reshape(-1)
-        scores, masks = _score(cfg, points, flat, threshold, point_mask)
+        scores, masks = _score(cfg, points, flat, threshold, point_mask,
+                               sigma_mult)
         scores = jnp.where(flat_valid, scores, -jnp.inf)
         best_idx = jnp.argmax(scores)
         better = scores[best_idx] > st.score
@@ -888,7 +918,8 @@ def ransac_test(
         if cfg.lo:
             new = jax.lax.cond(
                 better,
-                lambda s: _local_optimization(cfg, points, threshold, point_mask, s),
+                lambda s: _local_optimization(cfg, points, threshold,
+                                              point_mask, s, sigma_mult),
                 lambda s: s,
                 new,
             )
@@ -906,5 +937,6 @@ def ransac_test(
     final = jax.lax.while_loop(cond, body, init)
 
     # Final refit on the inliers (reference ``ransac.py:148-195``).
-    final = _refit_and_update(cfg, points, threshold, point_mask, final)
+    final = _refit_and_update(cfg, points, threshold, point_mask, final,
+                              sigma_mult=sigma_mult)
     return final.model, final.mask, final.score, final.iterations

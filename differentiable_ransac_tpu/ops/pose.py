@@ -200,7 +200,10 @@ def evaluate_pose(E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray,
     (reference ``eval_essential_matrix``, ``cv_utils.py:503-525``)."""
     R, t = recover_pose(E, x1, x2, svd=svd)
     err_q = rotation_error(R, R_gt) * (180.0 / jnp.pi)
-    err_t = translation_error(t, t_gt.reshape(t.shape)) * (180.0 / jnp.pi)
+    # broadcast one GT translation against (..., 3) recovered candidates
+    # (t_gt may arrive as (3,) or (3, 1) while E is hypothesis-batched)
+    t_gt = jnp.broadcast_to(jnp.reshape(t_gt, (3,)), t.shape)
+    err_t = translation_error(t, t_gt) * (180.0 / jnp.pi)
     return err_q, err_t
 
 

@@ -3,5 +3,6 @@ from differentiable_ransac_tpu.parallel.mesh import (
     make_mesh,
     sharded_ransac,
     sharded_ransac_adaptive,
+    sharded_hypothesis_losses,
     sharded_match_loss_hypotheses,
 )

@@ -162,6 +162,7 @@ def sharded_ransac_adaptive(
     point_mask: Optional[jnp.ndarray] = None,
     chunk: int = 512,
     rescue_k: int = 64,
+    sigma_mult: Optional[jnp.ndarray] = None,
 ):
     """Multi-device ADAPTIVE search: ``ransac_test_fast`` over ``(pairs, hyp)``.
 
@@ -205,13 +206,14 @@ def sharded_ransac_adaptive(
         _refit_and_update,
     )
 
-    def per_pair(pts, lg, seed, thr, pmask):
+    def per_pair(pts, lg, seed, thr, pmask, sm):
         shard = jax.lax.axis_index("hyp")
         key = jax.random.fold_in(jax.random.PRNGKey(seed), shard)
         thr = jnp.asarray(thr).astype(pts.dtype)
+        sm = None if sigma_mult is None else sm
         st = _fast_search_loop(cfg, pts, lg, key, thr, pmask, chunk,
-                               rescue_k, axis_name="hyp")
-        model, mask, score = _fast_rescue_local(cfg, pts, thr, pmask, st)
+                               rescue_k, axis_name="hyp", sigma_mult=sm)
+        model, mask, score = _fast_rescue_local(cfg, pts, thr, pmask, st, sm)
         score, (model, mask) = _global_argmax_select(
             score, (model, mask.astype(pts.dtype)), "hyp"
         )
@@ -227,25 +229,173 @@ def sharded_ransac_adaptive(
             key=jax.random.fold_in(jax.random.PRNGKey(seed), 0x10),
         )
         if cfg.lo:
-            final = _local_optimization(cfg, pts, thr, pmask, final)
-        final = _refit_and_update(cfg, pts, thr, pmask, final)
+            final = _local_optimization(cfg, pts, thr, pmask, final, sm)
+        final = _refit_and_update(cfg, pts, thr, pmask, final, sigma_mult=sm)
         return final.model, final.mask, final.score, final.iterations
 
-    def shard_fn(points_blk, logits_blk, keys_blk, thr_blk, pmask_blk):
+    def shard_fn(points_blk, logits_blk, keys_blk, thr_blk, pmask_blk, sm_blk):
         return jax.vmap(per_pair)(points_blk, logits_blk, keys_blk, thr_blk,
-                                  pmask_blk)
+                                  pmask_blk, sm_blk)
 
     if point_mask is None:
         point_mask = jnp.ones(points.shape[:2], points.dtype)
+    # dummy ones when unused (static branch inside per_pair selects None)
+    sm_arr = (jnp.ones((points.shape[0],), points.dtype)
+              if sigma_mult is None else jnp.asarray(sigma_mult))
 
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P("pairs"), P("pairs"), P("pairs"), P("pairs"), P("pairs")),
+        in_specs=(P("pairs"),) * 6,
         out_specs=(P("pairs"), P("pairs"), P("pairs"), P("pairs")),
         check_vma=False,
     )
-    return fn(points, logits, keys, thresholds, point_mask)
+    return fn(points, logits, keys, thresholds, point_mask, sm_arr)
+
+
+def sharded_hypothesis_losses(
+    cfg: RansacConfig,
+    mesh: Mesh,
+    points: jnp.ndarray,
+    logits: jnp.ndarray,
+    gt_models: jnp.ndarray,
+    gt_masks: jnp.ndarray,
+    keys: jax.Array,
+    score_points: Optional[jnp.ndarray] = None,
+    Ks: Optional[tuple] = None,
+    topk: int = 0,
+    gt_R: Optional[jnp.ndarray] = None,
+    gt_t: Optional[jnp.ndarray] = None,
+):
+    """Training-mode hypothesis generation + losses over the mesh.
+
+    Each ``hyp`` shard generates ``H / n_hyp`` hypotheses per pair ONCE and
+    computes partial sums of every requested loss from them; partial sums
+    are reduced with ``psum`` over ``hyp`` then averaged over ``pairs`` —
+    numerically equal to the single-device mean over all H hypotheses.
+    Differentiable: gradients flow back through the shard_map and its
+    collectives.
+
+    Losses:
+
+    * **match** (w2, reference ``loss.py:107-153``): symmetric epipolar
+      error of GT inliers vs every hypothesis — always computed.
+    * **pose** (w0, reference ``loss.py:11-68``): mean relative-pose error
+      ``(errR + errT)/2`` over hypotheses via the differentiable Horn
+      pose recovery + cheirality voting — computed when ``gt_R``/``gt_t``
+      are given (each shard recovers poses only for its own hypotheses;
+      the mean is psum-reduced, identical to the single-device
+      :func:`differentiable_ransac_tpu.losses.pose_loss`).
+
+    Args:
+        points: (B, N, 4) correspondences the SOLVER sees (calibrated for
+            E-mode; pixels for F-mode).
+        logits: (B, N) sampler scores (gradient target).
+        gt_models: (B, 3, 3).
+        gt_masks: (B, N) GT inlier masks.
+        keys: (B,) uint32 seeds.
+        score_points: optional (B, N, 4) coords the LOSSES see (calibrated
+            coords in F-mode, reference ``loss.py:119-120``); defaults to
+            ``points``.
+        Ks: optional ``(K1s, K2s)`` (B, 3, 3) pairs — when given, each F
+            hypothesis is lifted to E = K2ᵀ F K1 before the losses
+            (reference ``loss.py:117-118``).
+        topk: if > 0, the match loss averages only the best hypotheses by
+            mean error (reference ``loss.py:147-150``). Under hypothesis
+            sharding the selection is per-shard top-⌈topk/n_hyp⌉ — a
+            stratified approximation of the global top-k (exact when
+            hypothesis quality is exchangeable across shards, which holds
+            here: shards draw IID samples from the same sampler).
+        gt_R: optional (B, 3, 3) GT rotations — enables the pose loss.
+        gt_t: optional (B, 3) GT translations.
+
+    Returns:
+        dict with ``"match"`` (scalar) and, if ``gt_R`` is given,
+        ``"pose"`` (scalar).
+    """
+    from differentiable_ransac_tpu.engine import ransac_train
+    from differentiable_ransac_tpu.ops import pose as pose_ops
+
+    n_hyp = mesh.shape["hyp"]
+    local_h = -(-cfg.num_hypotheses // n_hyp)
+    local_topk = min(-(-topk // n_hyp), local_h) if topk else 0
+    local_cfg = cfg.replace(
+        max_iterations=local_h, ransac_batch_size=min(cfg.ransac_batch_size, local_h)
+    )
+    want_pose = gt_R is not None
+
+    def per_pair(pts, spts, lg, gt, gtm, seed, K1, K2, R, t):
+        shard = jax.lax.axis_index("hyp")
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), shard)
+        models, valid = ransac_train(local_cfg, pts, lg, gt, key)
+        if Ks is not None:
+            models = jnp.einsum("ji,hjk,kl->hil", K2, models, K1)
+        # partial sums for a global mean over hypotheses
+        from differentiable_ransac_tpu.ops.epipolar import symmetric_epipolar_squared
+
+        geod = symmetric_epipolar_squared(spts[:, :2], spts[:, 2:4], models)
+        e = jnp.minimum(geod, 1.0)
+        gtm = gtm.astype(e.dtype)
+        denom = jnp.maximum(jnp.sum(gtm), 1.0)
+        per_h = jnp.sum(e * gtm[None, :], axis=-1) / denom
+        v = valid.astype(e.dtype)
+        if local_topk:
+            ranked = jnp.where(valid, per_h, jnp.inf)
+            neg_top, _ = jax.lax.top_k(-ranked, local_topk)
+            vals = -neg_top
+            ok = jnp.isfinite(vals)
+            match_sum = jnp.sum(jnp.where(ok, vals, 0.0))
+            match_cnt = jnp.sum(ok).astype(e.dtype)
+        else:
+            match_sum = jnp.sum(per_h * v)
+            match_cnt = jnp.sum(v)
+        if want_pose:
+            err_R, err_t = pose_ops.evaluate_pose(
+                models, spts[:, :2], spts[:, 2:4], R, t, svd=False)
+            per_h_pose = (err_R + err_t) / 2.0
+            pose_sum = jnp.sum(per_h_pose * v)
+            pose_cnt = jnp.sum(v)
+        else:
+            pose_sum = jnp.asarray(0.0, e.dtype)
+            pose_cnt = jnp.asarray(0.0, e.dtype)
+        return match_sum, match_cnt, pose_sum, pose_cnt
+
+    def shard_fn(points_blk, spts_blk, logits_blk, gt_blk, gtm_blk, keys_blk,
+                 K1_blk, K2_blk, R_blk, t_blk):
+        sums = jax.vmap(per_pair)(
+            points_blk, spts_blk, logits_blk, gt_blk, gtm_blk, keys_blk,
+            K1_blk, K2_blk, R_blk, t_blk)
+        match_sum, match_cnt, pose_sum, pose_cnt = (
+            jax.lax.psum(s, "hyp") for s in sums)  # each (Bp,)
+        match = jax.lax.psum(
+            jnp.sum(match_sum / jnp.maximum(match_cnt, 1.0)), "pairs")
+        pose = jax.lax.psum(
+            jnp.sum(pose_sum / jnp.maximum(pose_cnt, 1.0)), "pairs")
+        B = points.shape[0]
+        return match[None] / B, pose[None] / B
+
+    if score_points is None:
+        score_points = points
+    B = points.shape[0]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=points.dtype), (B, 3, 3))
+    K1s, K2s = Ks if Ks is not None else (eye, eye)
+    if gt_R is None:
+        gt_R = eye
+        gt_t = jnp.ones((B, 3), points.dtype)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("pairs"),) * 10,
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    match, pose = fn(points, score_points, logits, gt_models, gt_masks, keys,
+                     K1s, K2s, gt_R, jnp.asarray(gt_t).reshape(B, 3))
+    out = {"match": match[0]}
+    if want_pose:
+        out["pose"] = pose[0]
+    return out
 
 
 def sharded_match_loss_hypotheses(
@@ -260,95 +410,9 @@ def sharded_match_loss_hypotheses(
     Ks: Optional[tuple] = None,
     topk: int = 0,
 ):
-    """Training-mode hypothesis generation + match loss over the mesh.
-
-    Each ``hyp`` shard generates ``H / n_hyp`` hypotheses per pair and
-    computes its partial symmetric-epipolar loss; partial sums are reduced
-    with ``psum`` over ``hyp`` then averaged over ``pairs`` — numerically
-    equal to the single-device mean over all H hypotheses
-    (:func:`differentiable_ransac_tpu.losses.match_loss` with ``topk=0``).
-    Differentiable: gradients flow back through the shard_map and its
-    collectives.
-
-    Args:
-        points: (B, N, 4) correspondences the SOLVER sees (calibrated for
-            E-mode; pixels for F-mode).
-        logits: (B, N) sampler scores (gradient target).
-        gt_models: (B, 3, 3).
-        gt_masks: (B, N) GT inlier masks.
-        keys: (B,) uint32 seeds.
-        score_points: optional (B, N, 4) coords the LOSS sees (calibrated
-            coords in F-mode, reference ``loss.py:119-120``); defaults to
-            ``points``.
-        Ks: optional ``(K1s, K2s)`` (B, 3, 3) pairs — when given, each F
-            hypothesis is lifted to E = K2ᵀ F K1 before the loss
-            (reference ``loss.py:117-118``).
-        topk: if > 0, average only the best hypotheses by mean error
-            (reference ``loss.py:147-150``). Under hypothesis sharding the
-            selection is per-shard top-⌈topk/n_hyp⌉ — a stratified
-            approximation of the global top-k (exact when hypothesis
-            quality is exchangeable across shards, which holds here: shards
-            draw IID samples from the same sampler).
-
-    Returns:
-        scalar loss.
-    """
-    from differentiable_ransac_tpu.engine import ransac_train
-
-    n_hyp = mesh.shape["hyp"]
-    local_h = -(-cfg.num_hypotheses // n_hyp)
-    local_topk = min(-(-topk // n_hyp), local_h) if topk else 0
-    local_cfg = cfg.replace(
-        max_iterations=local_h, ransac_batch_size=min(cfg.ransac_batch_size, local_h)
-    )
-
-    def per_pair(pts, spts, lg, gt, gtm, seed, K1, K2):
-        shard = jax.lax.axis_index("hyp")
-        key = jax.random.fold_in(jax.random.PRNGKey(seed), shard)
-        models, valid = ransac_train(local_cfg, pts, lg, gt, key)
-        if Ks is not None:
-            models = jnp.einsum("ji,hjk,kl->hil", K2, models, K1)
-        # partial sums for a global mean over hypotheses
-        from differentiable_ransac_tpu.ops.epipolar import symmetric_epipolar_squared
-
-        geod = symmetric_epipolar_squared(spts[:, :2], spts[:, 2:4], models)
-        e = jnp.minimum(geod, 1.0)
-        gtm = gtm.astype(e.dtype)
-        denom = jnp.maximum(jnp.sum(gtm), 1.0)
-        per_h = jnp.sum(e * gtm[None, :], axis=-1) / denom
-        if local_topk:
-            ranked = jnp.where(valid, per_h, jnp.inf)
-            neg_top, _ = jax.lax.top_k(-ranked, local_topk)
-            vals = -neg_top
-            ok = jnp.isfinite(vals)
-            return (jnp.sum(jnp.where(ok, vals, 0.0)),
-                    jnp.sum(ok).astype(e.dtype))
-        v = valid.astype(e.dtype)
-        return jnp.sum(per_h * v), jnp.sum(v)
-
-    def shard_fn(points_blk, spts_blk, logits_blk, gt_blk, gtm_blk, keys_blk,
-                 K1_blk, K2_blk):
-        loss_sum, count = jax.vmap(per_pair)(
-            points_blk, spts_blk, logits_blk, gt_blk, gtm_blk, keys_blk,
-            K1_blk, K2_blk)
-        loss_sum = jax.lax.psum(loss_sum, "hyp")   # (Bp,)
-        count = jax.lax.psum(count, "hyp")
-        per_pair_loss = loss_sum / jnp.maximum(count, 1.0)
-        total = jax.lax.psum(jnp.sum(per_pair_loss), "pairs")
-        return total[None] / points.shape[0]
-
-    if score_points is None:
-        score_points = points
-    B = points.shape[0]
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=points.dtype), (B, 3, 3))
-    K1s, K2s = Ks if Ks is not None else (eye, eye)
-
-    fn = jax.shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(P("pairs"),) * 8,
-        out_specs=P(),
-        check_vma=False,
-    )
-    return fn(points, score_points, logits, gt_models, gt_masks, keys,
-              K1s, K2s)[0]
+    """Match loss only — thin wrapper over
+    :func:`sharded_hypothesis_losses` (kept for API stability)."""
+    return sharded_hypothesis_losses(
+        cfg, mesh, points, logits, gt_models, gt_masks, keys,
+        score_points=score_points, Ks=Ks, topk=topk,
+    )["match"]

@@ -228,19 +228,16 @@ def make_train_step_mesh(model: CLNet, tx, cfg: TrainConfig,
     optimizer update is replicated (the psum-reduced grads are identical on
     all devices).
 
-    The pose loss (w0) has no sharded counterpart yet — configs with
-    ``w0 != 0`` must use the single-device step.
+    The pose loss (w0) shares the same sharded hypothesis generation: each
+    shard recovers poses for its own hypotheses and the mean error is
+    psum-reduced (:func:`sharded_hypothesis_losses`).
 
     Callers shard batch arrays with
     ``jax.device_put(x, NamedSharding(mesh, P("pairs")))`` — see
     ``train_e2e.py`` / ``__graft_entry__.dryrun_multichip``.
     """
-    from differentiable_ransac_tpu.parallel import sharded_match_loss_hypotheses
+    from differentiable_ransac_tpu.parallel import sharded_hypothesis_losses
 
-    if cfg.w0:
-        raise NotImplementedError(
-            "pose loss (w0) is not available under --mesh; use the "
-            "single-device train step")
     fmat = ransac_cfg.fmat
 
     def loss_fn(params, batch_stats, batch, key):
@@ -277,14 +274,20 @@ def make_train_step_mesh(model: CLNet, tx, cfg: TrainConfig,
 
         total = jnp.asarray(0.0, jnp.float32)
         metrics = {}
-        if cfg.w2:
-            l2 = sharded_match_loss_hypotheses(
+        if cfg.w2 or cfg.w0:
+            losses = sharded_hypothesis_losses(
                 ransac_cfg, mesh, pts, weights, gt_model, gt_masks, seeds,
                 score_points=score_pts, Ks=Ks,
                 topk=cfg.k if cfg.topk else 0,
+                gt_R=batch["gt_R"] if cfg.w0 else None,
+                gt_t=batch["gt_t"] if cfg.w0 else None,
             )
-            total = total + cfg.w2 * l2
-            metrics["match_loss"] = l2
+            if cfg.w2:
+                total = total + cfg.w2 * losses["match"]
+                metrics["match_loss"] = losses["match"]
+            if cfg.w0:
+                total = total + cfg.w0 * losses["pose"]
+                metrics["pose_loss"] = losses["pose"]
         if cfg.w1:
             l1 = jnp.mean(jax.vmap(classification_loss)(out["weights"], gt_masks))
             total = total + cfg.w1 * l1

@@ -31,9 +31,32 @@ from differentiable_ransac_tpu.utils import MetricsLogger, build_parser, configs
 
 
 def main():
-    args = build_parser("TPU ∇-RANSAC evaluation").parse_args()
+    parser = build_parser("TPU ∇-RANSAC evaluation")
+    parser.add_argument("--mesh", default=None,
+                        help="multi-chip (pairs,hyp) mesh: 'P,H' or 'auto' "
+                             "(all local devices on hyp). Requires -bs "
+                             "divisible by P.")
+    args = parser.parse_args()
     args.tr = 0
     tcfg, rcfg = configs_from_args(args)
+
+    mesh = None
+    if args.mesh:
+        from differentiable_ransac_tpu.parallel import make_mesh
+
+        n_dev = len(jax.devices())
+        if args.mesh == "auto":
+            p_ax, h_ax = 1, n_dev
+        else:
+            p_ax, h_ax = (int(x) for x in args.mesh.split(","))
+        if p_ax * h_ax <= 1:
+            print(f"--mesh {args.mesh}: single device — using the "
+                  "single-device step")
+        else:
+            assert tcfg.batch_size % p_ax == 0, (
+                f"-bs {tcfg.batch_size} not divisible by pairs axis {p_ax}")
+            mesh = make_mesh(pairs=p_ax, hyp=h_ax)
+            print(f"mesh: {dict(mesh.shape)} over {n_dev} devices")
 
     scenes = OUTDOOR_TEST_SCENES if args.batch_mode else [args.datasets]
     model, state = create_train_state(
@@ -41,7 +64,13 @@ def main():
     )
     if args.model:
         state = load_checkpoint(args.model, state)
-    eval_fn = make_eval_step(model, rcfg, int(tcfg.prob_type))
+    if mesh is not None:
+        from differentiable_ransac_tpu.evaluate import make_eval_step_mesh
+        from differentiable_ransac_tpu.train import shard_batch
+
+        eval_fn = make_eval_step_mesh(model, rcfg, mesh, int(tcfg.prob_type))
+    else:
+        eval_fn = make_eval_step(model, rcfg, int(tcfg.prob_type))
     logger = MetricsLogger(args.out_dir, session_string("eval", tcfg, rcfg))
 
     all_aggs = {}
@@ -53,7 +82,10 @@ def main():
         ds = TwoViewRecords([folder], tcfg.snn_threshold, tcfg.nfeatures, rcfg.fmat)
         results, t_total, n_pairs = [], 0.0, 0
         for batch in ds.batches(tcfg.batch_size):
-            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            if mesh is not None:
+                jb = shard_batch(batch, mesh)
+            else:
+                jb = {k: jnp.asarray(v) for k, v in batch.items()}
             t0 = time.time()
             models, masks, scores, iters, w = eval_fn(
                 state.params, state.batch_stats, jb, jax.random.PRNGKey(0)

@@ -371,8 +371,22 @@ def run_ours(folder: str, args):
         sigma_max=args.sigma_max,
         prescreen=args.prescreen,
     )
-    params, bstats = load_reference_clnet(args.ckpt)
-    model = CLNet()
+    if getattr(args, "our_ckpt", None):
+        # self-trained weights (task: train-from-scratch parity): load the
+        # train.py pickle checkpoint into a fresh CLNet state
+        from differentiable_ransac_tpu.config import TrainConfig
+        from differentiable_ransac_tpu.train import (
+            create_optimizer, create_train_state, load_checkpoint,
+        )
+
+        tcfg = TrainConfig(nfeatures=args.nf)
+        model, state = create_train_state(
+            jax.random.PRNGKey(0), tcfg, args.nf, create_optimizer(tcfg))
+        state = load_checkpoint(args.our_ckpt, state)
+        params, bstats = state.params, state.batch_stats
+    else:
+        params, bstats = load_reference_clnet(args.ckpt)
+        model = CLNet()
 
     ds = TwoViewRecords([folder + "/"], 0.8, args.nf, rcfg.fmat)
 
@@ -404,7 +418,8 @@ def run_ours(folder: str, args):
               f"{float(np.max(mults)):.2f})")
         rcfg = rcfg.replace(sigma_max=auto)
 
-    eval_fn = make_eval_step(model, rcfg, prob_type=0, fast=not args.exact,
+    eval_fn = make_eval_step(model, rcfg, prob_type=getattr(args, "prob", 0),
+                             fast=not args.exact,
                              chunk=args.chunk, rescue_k=args.rescue_k)
     per_key_aggs = []
     warmed = False
@@ -493,6 +508,15 @@ def main():
     ap.add_argument("--exact", action="store_true",
                     help="use the all-f64 reference-semantics search "
                          "(ransac_test) instead of the fast engine")
+    ap.add_argument("--our_ckpt", default=None,
+                    help="evaluate THIS framework's own trained checkpoint "
+                         "(train.py pickle, written by save_checkpoint) "
+                         "instead of the imported reference weights — the "
+                         "'trained here' PARITY column")
+    ap.add_argument("--prob", type=int, default=0,
+                    help="prob_type fed to the sampler (0 normalized "
+                         "weights — the reference predict path; 2 logits — "
+                         "what our from-scratch training uses)")
     ap.add_argument("--skip_reference", action="store_true")
     ap.add_argument("--data_dir", default=None,
                     help="reuse an existing record folder instead of "

