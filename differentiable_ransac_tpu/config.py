@@ -109,6 +109,12 @@ class RansacConfig:
     # native ``csrc/sigma_consensus.cpp``) instead of binary-mask LSQ.
     refit_rounds: int = 4
     train: bool = False
+    # Train mode only: clip each hypothesis's sample-cotangent to this norm
+    # in the backward pass (0 disables). The minimal solvers' implicit VJPs
+    # amplify bounded loss cotangents to ~1e13 near sample degeneracies,
+    # drowning every other loss after global-norm clipping — see
+    # ``engine._clip_sample_cotangent``.
+    grad_sample_clip: float = 1.0
     eps: float = 1e-5
     precision: int = 1  # 0 fp16, 1 fp32, 2 fp64 (reference ``utils.py:42-43``)
     # Precision of the minimal-solver cores (elimination, root finding):

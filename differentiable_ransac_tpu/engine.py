@@ -149,6 +149,39 @@ def normalized_threshold(cfg: RansacConfig, K1=None, K2=None):
 # Hypothesis generation (shared by train/test)
 # ---------------------------------------------------------------------------
 
+@jax.custom_vjp
+def _clip_sample_cotangent(samples, max_norm):
+    """Identity forward; backward clips the cotangent PER HYPOTHESIS.
+
+    The minimal solvers' implicit VJPs amplify a bounded loss cotangent
+    without bound near sample degeneracies (root multiplicities, rank
+    drops): measured on the from-scratch training corpus, the f64 5PC
+    backward turns an O(1) match-loss cotangent into global gradient norms
+    of ~1e13 (f32: ~1e4) on EVERY batch, which drowns every other loss
+    term after global-norm clipping and stalls learning. Clipping each
+    hypothesis's sample-cotangent norm bounds the total at H · max_norm
+    while leaving benign hypotheses (typical norms ≤ 1e-2) untouched —
+    the per-example analogue of the reference's skip-batch-on-NaN guard
+    (``/root/reference/train.py:145-182``), acting on heavy tails instead
+    of only infinities.
+    """
+    del max_norm
+    return samples
+
+
+def _csc_fwd(samples, max_norm):
+    return samples, max_norm
+
+
+def _csc_bwd(max_norm, g):
+    n = jnp.sqrt(jnp.sum(jnp.square(g), axis=(-2, -1), keepdims=True))
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(n, 1e-30))
+    return g * scale, jnp.zeros_like(max_norm)
+
+
+_clip_sample_cotangent.defvjp(_csc_fwd, _csc_bwd)
+
+
 def _draw_and_solve(cfg: RansacConfig, points, logits, key, num_hypotheses):
     """Sample minimal sets and solve them, fully vectorized.
 
@@ -170,6 +203,11 @@ def _draw_and_solve(cfg: RansacConfig, points, logits, key, num_hypotheses):
         samples = gather_minimal_samples(points, idx, st_mask)
         sample_weights = (
             jnp.take_along_axis(soft, idx, axis=1) if cfg.weighted else None
+        )
+
+    if cfg.train and cfg.grad_sample_clip > 0:
+        samples = _clip_sample_cotangent(
+            samples, jnp.asarray(cfg.grad_sample_clip, samples.dtype)
         )
 
     if sample_weights is not None:

@@ -70,6 +70,10 @@ def test_train_step_essential_runs_and_updates():
                      state.params, state2.params)
     assert sum(jax.tree.leaves(d)) > 0
     assert int(state2.step) == 1
+    # the per-hypothesis sample-cotangent clip (grad_sample_clip=1.0,
+    # default) bounds the f64 solver-VJP heavy tail: without it this
+    # gradient norm is ~1e13 and training cannot learn (round-4 finding)
+    assert float(metrics["grad_norm"]) < 1e3
 
 
 def test_train_step_loss_decreases_overfitting():
@@ -135,3 +139,25 @@ def test_checkpoint_roundtrip(tmp_path):
     b = jax.tree.leaves(restored.params)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_clip_sample_cotangent_semantics():
+    """Backward of the identity clip scales each hypothesis's cotangent to
+    max_norm, preserving direction; small cotangents pass unchanged."""
+    from differentiable_ransac_tpu.engine import _clip_sample_cotangent
+
+    samples = jnp.zeros((2, 5, 4), jnp.float32)
+    big = jnp.full((5, 4), 100.0)          # norm 100·sqrt(20) >> 1
+    small = jnp.full((5, 4), 1e-3)         # norm ~4.5e-3 < 1
+    cot = jnp.stack([big, small])
+
+    def f(s):
+        return jnp.sum(_clip_sample_cotangent(s, jnp.asarray(1.0)) * cot)
+
+    g = np.asarray(jax.grad(f)(samples))
+    # hypothesis 0: clipped to unit norm, same direction as `big`
+    np.testing.assert_allclose(np.linalg.norm(g[0]), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(g[0] / np.abs(g[0]).max(),
+                               np.asarray(big / big.max()), rtol=1e-5)
+    # hypothesis 1: untouched
+    np.testing.assert_allclose(g[1], np.asarray(cot[1]), rtol=1e-6)
