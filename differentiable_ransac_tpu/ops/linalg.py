@@ -28,8 +28,13 @@ def safe_eigh(a: jnp.ndarray):
     ``g/(g²+ε)``: within-cluster rotations (which do not change the solution
     set) contribute ~0 gradient instead of NaN, while well-separated modes
     keep their exact gradient.
+
+    Returns a plain ``(eigenvalues, eigenvectors)`` tuple (NOT the
+    ``EighResult`` namedtuple): the custom-VJP fwd rule must produce the
+    same pytree structure as the primal, and jit-of-shard_map enforces it.
     """
-    return jnp.linalg.eigh(a)
+    w, v = jnp.linalg.eigh(a)
+    return w, v
 
 
 def _safe_eigh_fwd(a):

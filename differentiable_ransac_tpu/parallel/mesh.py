@@ -18,6 +18,7 @@ multi-host meshes come from ``jax.distributed.initialize`` + the same code.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import numpy as np
@@ -27,6 +28,16 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from differentiable_ransac_tpu.config import RansacConfig
 from differentiable_ransac_tpu.engine import ransac_fixed, refit_best
+
+# Every public sharded_* entry point builds its shard_map callable through a
+# cached factory and calls it under jax.jit. Calling a shard_map EAGERLY
+# (outside jit) routes per-primitive through the eager SPMD dispatch path,
+# which re-lowers the engine graph piecemeal: measured 200-460 s for a graph
+# whose jitted trace+lower+compile is 7.6 s on the 8-device CPU mesh
+# (docs/PROFILE.md). Inside an outer jit (the train/eval steps) the inner
+# jit is inlined and free; called eagerly (tests, ad-hoc use) it makes
+# compile time normal again. The factories are keyed on the STATIC
+# configuration only — array arguments flow through the jit boundary.
 
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
@@ -115,6 +126,14 @@ def sharded_ransac(
     Returns:
         (best_models (B, 3, 3), best_masks (B, N), best_scores (B,)).
     """
+    if point_mask is None:
+        point_mask = jnp.ones(points.shape[:2], points.dtype)
+    fn = _sharded_ransac_fn(cfg, mesh, rescued)
+    return fn(points, logits, keys, thresholds, point_mask)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_ransac_fn(cfg: RansacConfig, mesh: Mesh, rescued: bool):
     from differentiable_ransac_tpu.engine import ransac_fixed_rescued
 
     n_hyp = mesh.shape["hyp"]
@@ -139,17 +158,13 @@ def sharded_ransac(
     def shard_fn(points_blk, logits_blk, keys_blk, thr_blk, pmask_blk):
         return jax.vmap(per_pair)(points_blk, logits_blk, keys_blk, thr_blk, pmask_blk)
 
-    if point_mask is None:
-        point_mask = jnp.ones(points.shape[:2], points.dtype)
-
-    fn = jax.shard_map(
+    return jax.jit(jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P("pairs"), P("pairs"), P("pairs"), P("pairs"), P("pairs")),
         out_specs=(P("pairs"), P("pairs"), P("pairs")),
         check_vma=False,
-    )
-    return fn(points, logits, keys, thresholds, point_mask)
+    ))
 
 
 def sharded_ransac_adaptive(
@@ -198,6 +213,19 @@ def sharded_ransac_adaptive(
         (best_models (B, 3, 3), best_masks (B, N), best_scores (B,),
         iterations (B,) — global hypotheses evaluated per pair).
     """
+    if point_mask is None:
+        point_mask = jnp.ones(points.shape[:2], points.dtype)
+    # dummy ones when unused (static branch inside per_pair selects None)
+    sm_arr = (jnp.ones((points.shape[0],), points.dtype)
+              if sigma_mult is None else jnp.asarray(sigma_mult))
+    fn = _sharded_ransac_adaptive_fn(cfg, mesh, chunk, rescue_k,
+                                     sigma_mult is not None)
+    return fn(points, logits, keys, thresholds, point_mask, sm_arr)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_ransac_adaptive_fn(cfg: RansacConfig, mesh: Mesh, chunk: int,
+                                rescue_k: int, has_sigma: bool):
     from differentiable_ransac_tpu.engine import (
         _BestState,
         _fast_rescue_local,
@@ -210,7 +238,7 @@ def sharded_ransac_adaptive(
         shard = jax.lax.axis_index("hyp")
         key = jax.random.fold_in(jax.random.PRNGKey(seed), shard)
         thr = jnp.asarray(thr).astype(pts.dtype)
-        sm = None if sigma_mult is None else sm
+        sm = sm if has_sigma else None
         st = _fast_search_loop(cfg, pts, lg, key, thr, pmask, chunk,
                                rescue_k, axis_name="hyp", sigma_mult=sm)
         model, mask, score = _fast_rescue_local(cfg, pts, thr, pmask, st, sm)
@@ -237,20 +265,13 @@ def sharded_ransac_adaptive(
         return jax.vmap(per_pair)(points_blk, logits_blk, keys_blk, thr_blk,
                                   pmask_blk, sm_blk)
 
-    if point_mask is None:
-        point_mask = jnp.ones(points.shape[:2], points.dtype)
-    # dummy ones when unused (static branch inside per_pair selects None)
-    sm_arr = (jnp.ones((points.shape[0],), points.dtype)
-              if sigma_mult is None else jnp.asarray(sigma_mult))
-
-    fn = jax.shard_map(
+    return jax.jit(jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P("pairs"),) * 6,
         out_specs=(P("pairs"), P("pairs"), P("pairs"), P("pairs")),
         check_vma=False,
-    )
-    return fn(points, logits, keys, thresholds, point_mask, sm_arr)
+    ))
 
 
 def sharded_hypothesis_losses(
@@ -313,22 +334,45 @@ def sharded_hypothesis_losses(
         dict with ``"match"`` (scalar) and, if ``gt_R`` is given,
         ``"pose"`` (scalar).
     """
+    want_pose = gt_R is not None
+    if score_points is None:
+        score_points = points
+    B = points.shape[0]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=points.dtype), (B, 3, 3))
+    K1s, K2s = Ks if Ks is not None else (eye, eye)
+    if gt_R is None:
+        gt_R = eye
+        gt_t = jnp.ones((B, 3), points.dtype)
+
+    fn = _sharded_hypothesis_losses_fn(cfg, mesh, topk, Ks is not None,
+                                       want_pose)
+    match, pose = fn(points, score_points, logits, gt_models, gt_masks, keys,
+                     K1s, K2s, gt_R, jnp.asarray(gt_t).reshape(B, 3))
+    out = {"match": match[0]}
+    if want_pose:
+        out["pose"] = pose[0]
+    return out
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_hypothesis_losses_fn(cfg: RansacConfig, mesh: Mesh, topk: int,
+                                  has_Ks: bool, want_pose: bool):
     from differentiable_ransac_tpu.engine import ransac_train
     from differentiable_ransac_tpu.ops import pose as pose_ops
 
     n_hyp = mesh.shape["hyp"]
+    n_pairs = mesh.shape["pairs"]
     local_h = -(-cfg.num_hypotheses // n_hyp)
     local_topk = min(-(-topk // n_hyp), local_h) if topk else 0
     local_cfg = cfg.replace(
         max_iterations=local_h, ransac_batch_size=min(cfg.ransac_batch_size, local_h)
     )
-    want_pose = gt_R is not None
 
     def per_pair(pts, spts, lg, gt, gtm, seed, K1, K2, R, t):
         shard = jax.lax.axis_index("hyp")
         key = jax.random.fold_in(jax.random.PRNGKey(seed), shard)
         models, valid = ransac_train(local_cfg, pts, lg, gt, key)
-        if Ks is not None:
+        if has_Ks:
             models = jnp.einsum("ji,hjk,kl->hil", K2, models, K1)
         # partial sums for a global mean over hypotheses
         from differentiable_ransac_tpu.ops.epipolar import symmetric_epipolar_squared
@@ -371,31 +415,16 @@ def sharded_hypothesis_losses(
             jnp.sum(match_sum / jnp.maximum(match_cnt, 1.0)), "pairs")
         pose = jax.lax.psum(
             jnp.sum(pose_sum / jnp.maximum(pose_cnt, 1.0)), "pairs")
-        B = points.shape[0]
+        B = points_blk.shape[0] * n_pairs  # global batch
         return match[None] / B, pose[None] / B
 
-    if score_points is None:
-        score_points = points
-    B = points.shape[0]
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=points.dtype), (B, 3, 3))
-    K1s, K2s = Ks if Ks is not None else (eye, eye)
-    if gt_R is None:
-        gt_R = eye
-        gt_t = jnp.ones((B, 3), points.dtype)
-
-    fn = jax.shard_map(
+    return jax.jit(jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P("pairs"),) * 10,
         out_specs=(P(), P()),
         check_vma=False,
-    )
-    match, pose = fn(points, score_points, logits, gt_models, gt_masks, keys,
-                     K1s, K2s, gt_R, jnp.asarray(gt_t).reshape(B, 3))
-    out = {"match": match[0]}
-    if want_pose:
-        out["pose"] = pose[0]
-    return out
+    ))
 
 
 def sharded_match_loss_hypotheses(

@@ -3,7 +3,6 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from differentiable_ransac_tpu.config import ModelKind, RansacConfig, SamplerKind
 from differentiable_ransac_tpu.data.synthetic import rigid_problem, two_view_problem
@@ -52,14 +51,14 @@ def test_sharded_ransac_finds_models():
         assert _model_distance(np.asarray(models[i]), p["E"]) < 0.1, i
 
 
-@pytest.mark.slow
 def test_sharded_ransac_matches_single_device_semantics():
     """Hyp-sharded argmax must equal the single-device argmax over the same
     lanes (same per-shard keys -> same hypothesis set).
 
-    slow: the engine graph (unrolled elimination + root finder) takes
-    ~10 min to compile on the virtual CPU mesh regardless of precision;
-    the driver's dryrun_multichip covers the sharded path every round.
+    Default-suite since round 4: was slow-marked at ~10 min compile, which
+    turned out to be EAGER shard_map dispatch — the sharded_* entry points
+    now call a cached jitted shard_map (parallel/mesh.py) and this test
+    compiles in seconds (VERDICT r3 task 9).
     """
     mesh = make_mesh(pairs=1, hyp=8)
     probs, pts = _batch(1, n_points=128, seed0=42)
@@ -166,11 +165,10 @@ def test_sharded_ransac_rigid_matches_replicated_argmax():
     assert float(scores[0]) >= best - 1e-5
 
 
-@pytest.mark.slow
 def test_sharded_match_loss_gradients():
-    """slow: the backward graph through the sharded engine takes ~12 min to
-    compile on the CPU mesh; dryrun_multichip exercises the same
-    differentiable collective path every round."""
+    """Gradients flow back through the sharded engine's collectives.
+    Default-suite since round 4 (see
+    test_sharded_ransac_matches_single_device_semantics)."""
     mesh = make_mesh(pairs=2, hyp=4)
     probs, pts = _batch(2, n_points=128, seed0=10)
     cfg = RansacConfig(model=ModelKind.ESSENTIAL, sampler=SamplerKind.GUMBEL,
