@@ -96,10 +96,15 @@ class CheckpointManager:
         if rng is not None:
             # typed PRNG keys can't convert to numpy directly; record the
             # key impl so a key saved under a non-default impl (e.g. rbg)
-            # restores as the SAME generator, not the process default.
+            # restores as the SAME generator, not the process default. The
+            # impl NAME is stored as a uint8 array — orbax StandardSave
+            # rejects raw str leaves, which only surfaced on the first
+            # save-after-restore (round-4 resume exercise).
             if jax.dtypes.issubdtype(rng.dtype, jax.dtypes.prng_key):
                 tree["rng"] = np.asarray(jax.random.key_data(rng))
-                tree["rng_impl"] = str(jax.random.key_impl(rng))
+                tree["rng_impl"] = np.frombuffer(
+                    str(jax.random.key_impl(rng)).encode(), dtype=np.uint8
+                ).copy()
             else:
                 tree["rng"] = np.asarray(rng)
         if data is not None:
@@ -143,10 +148,14 @@ class CheckpointManager:
         if "rng" in tree and tree["rng"] is not None:
             impl = tree.get("rng_impl")
             if impl is not None:
+                impl = bytes(np.asarray(impl, np.uint8)).decode()
                 rng = jax.random.wrap_key_data(jnp.asarray(tree["rng"]),
-                                               impl=str(impl))
+                                               impl=impl)
             else:
-                rng = jax.random.wrap_key_data(jnp.asarray(tree["rng"]))
+                # saved from an old-style uint32 key: return the SAME
+                # flavor (wrapping into a typed key here changed the key
+                # type under the caller across a resume)
+                rng = jnp.asarray(tree["rng"], jnp.uint32)
         data = DataPosition.from_tree(tree["data"]) if "data" in tree else None
         return state, rng, data
 

@@ -61,3 +61,34 @@ def test_retention_and_latest(tmp_path):
     with pytest.raises(Exception):
         mgr.restore(template, step=1)
     mgr.close()
+
+
+def test_resave_after_restore_both_key_flavors(tmp_path):
+    """The resume cycle: save -> restore -> SAVE AGAIN must work for both
+    old-style uint32 keys and typed PRNG keys, and restore must preserve
+    the key flavor. Round-4 regression: the first save-after-restore
+    crashed orbax (str `rng_impl` leaf) and restore silently upgraded
+    old-style keys to typed ones."""
+    model, state = _make_state(0)
+
+    # old-style uint32 key (what jax.random.PRNGKey returns)
+    rng = jax.random.PRNGKey(5)
+    mgr = CheckpointManager(str(tmp_path / "a"), max_to_keep=2)
+    mgr.save(1, state, rng=rng, data=DataPosition(0, 0, 0), wait=True)
+    restored, rng2, _ = mgr.restore(state)
+    assert rng2.dtype == rng.dtype, (rng2.dtype, rng.dtype)  # same flavor
+    np.testing.assert_array_equal(np.asarray(rng2), np.asarray(rng))
+    # the failing step: save the restored state + key again
+    assert mgr.save(2, restored, rng=rng2, data=DataPosition(1, 0, 0), wait=True)
+    mgr.close()
+
+    # typed key (jax.random.key)
+    rng_t = jax.random.key(5)
+    mgr = CheckpointManager(str(tmp_path / "b"), max_to_keep=2)
+    mgr.save(1, state, rng=rng_t, data=DataPosition(0, 0, 0), wait=True)
+    restored, rng3, _ = mgr.restore(state)
+    assert jax.dtypes.issubdtype(rng3.dtype, jax.dtypes.prng_key)
+    np.testing.assert_array_equal(np.asarray(jax.random.key_data(rng3)),
+                                  np.asarray(jax.random.key_data(rng_t)))
+    assert mgr.save(2, restored, rng=rng3, data=DataPosition(1, 0, 0), wait=True)
+    mgr.close()
