@@ -134,7 +134,22 @@ class CheckpointManager:
             step = self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
-        tree = self.manager.restore(int(step))
+        # Restore as HOST numpy arrays (structure from the checkpoint's own
+        # metadata) instead of honoring the saved device shardings: a
+        # checkpoint written on the TPU must restore in a CPU-only process
+        # (export_ckpt.py) — the sharding-aware path errors with "Device
+        # TPU ... was not found in jax.local_devices()". The jitted train
+        # step device-puts the arrays on first use.
+        import os
+
+        path = os.path.join(self.directory, str(int(step)), "default")
+        ckptr = self._ocp.PyTreeCheckpointer()
+        tree_meta = ckptr.metadata(path).item_metadata.tree
+        restore_args = jax.tree.map(
+            lambda m: self._ocp.RestoreArgs(restore_type=np.ndarray),
+            tree_meta,
+        )
+        tree = ckptr.restore(path, restore_args=restore_args)
         state = TrainState(
             params=flax.serialization.from_state_dict(
                 state_template.params, tree["params"]),
