@@ -1,4 +1,5 @@
 from differentiable_ransac_tpu.parallel.mesh import (
+    mesh_from_spec,
     initialize_distributed,
     make_mesh,
     sharded_ransac,

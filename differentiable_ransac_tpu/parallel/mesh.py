@@ -84,6 +84,31 @@ def make_mesh(pairs: int = 1, hyp: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(devices.reshape(pairs, hyp), ("pairs", "hyp"))
 
 
+def mesh_from_spec(spec: Optional[str], batch_size: int) -> Optional[Mesh]:
+    """Parse a driver ``--mesh`` spec into a mesh (or None).
+
+    ``spec``: ``"P,H"`` (pairs axis × hyp axis) or ``"auto"`` (1 × all
+    local devices); None/empty → None. Single-device products also return
+    None (callers fall back to the single-device step). Shared by every
+    driver that exposes ``--mesh``.
+    """
+    if not spec:
+        return None
+    n_dev = len(jax.devices())
+    if spec == "auto":
+        p_ax, h_ax = 1, n_dev
+    else:
+        p_ax, h_ax = (int(x) for x in spec.split(","))
+    if p_ax * h_ax <= 1:
+        print(f"--mesh {spec}: single device — using the single-device step")
+        return None
+    assert batch_size % p_ax == 0, (
+        f"batch size {batch_size} not divisible by pairs axis {p_ax}")
+    mesh = make_mesh(pairs=p_ax, hyp=h_ax)
+    print(f"mesh: {dict(mesh.shape)} over {n_dev} devices")
+    return mesh
+
+
 def _global_argmax_select(score, payloads, axis_name):
     """Cross-shard argmax with deterministic tie-breaking.
 

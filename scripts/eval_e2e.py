@@ -40,23 +40,9 @@ def main():
     args.tr = 0
     tcfg, rcfg = configs_from_args(args)
 
-    mesh = None
-    if args.mesh:
-        from differentiable_ransac_tpu.parallel import make_mesh
+    from differentiable_ransac_tpu.parallel import mesh_from_spec
 
-        n_dev = len(jax.devices())
-        if args.mesh == "auto":
-            p_ax, h_ax = 1, n_dev
-        else:
-            p_ax, h_ax = (int(x) for x in args.mesh.split(","))
-        if p_ax * h_ax <= 1:
-            print(f"--mesh {args.mesh}: single device — using the "
-                  "single-device step")
-        else:
-            assert tcfg.batch_size % p_ax == 0, (
-                f"-bs {tcfg.batch_size} not divisible by pairs axis {p_ax}")
-            mesh = make_mesh(pairs=p_ax, hyp=h_ax)
-            print(f"mesh: {dict(mesh.shape)} over {n_dev} devices")
+    mesh = mesh_from_spec(args.mesh, tcfg.batch_size)
 
     scenes = OUTDOOR_TEST_SCENES if args.batch_mode else [args.datasets]
     model, state = create_train_state(

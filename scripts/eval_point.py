@@ -35,6 +35,11 @@ def main():
     # the solver residual bound (rigid.py). An explicit ``-t 0.75`` is
     # honored.
     parser.set_defaults(threshold=None)
+    parser.add_argument("--mesh", default=None,
+                        help="multi-chip (pairs,hyp) mesh: 'P,H' or 'auto' "
+                             "(all local devices on hyp); the adaptive "
+                             "search is hypothesis-sharded with a global "
+                             "stopping bound. Requires -bs divisible by P.")
     args = parser.parse_args()
     args.tr = 0
     thr3d = args.threshold if args.threshold is not None else 0.05
@@ -65,6 +70,10 @@ def main():
     if args.model:
         state = load_checkpoint(args.model, state)
 
+    from differentiable_ransac_tpu.parallel import mesh_from_spec
+
+    mesh = mesh_from_spec(args.mesh, tcfg.batch_size)
+
     @jax.jit
     def infer(params, batch_stats, corr, key):
         if args.use_network:
@@ -73,6 +82,15 @@ def main():
             weights = select_prob_type(out, int(tcfg.prob_type))
         else:
             weights = jnp.zeros(corr.shape[:2], corr.dtype)
+        if mesh is not None:
+            from differentiable_ransac_tpu.parallel import sharded_ransac_adaptive
+
+            B = corr.shape[0]
+            seeds = jax.random.randint(
+                key, (B,), 0, jnp.iinfo(jnp.int32).max).astype(jnp.uint32)
+            thrs = jnp.full((B,), rcfg.threshold, corr.dtype)
+            return sharded_ransac_adaptive(
+                rcfg, mesh, corr[..., :6], weights, seeds, thrs)
         keys = jax.random.split(key, corr.shape[0])
         return jax.vmap(
             lambda p, w, k: ransac_test(rcfg, p[:, :6], w, k)

@@ -42,3 +42,38 @@ def test_train_e2e_cli_mesh_path(tmp_path, monkeypatch):
     assert sessions, "no session dir written"
     ckpt = sessions[0] / "ckpt"
     assert ckpt.is_dir() and any(ckpt.iterdir()), "no checkpoint saved"
+
+
+def test_eval_point_cli_mesh_path(tmp_path, monkeypatch, capsys):
+    """``scripts/eval_point.py --mesh``: the rigid eval driver runs its
+    adaptive search hypothesis-sharded (VERDICT r3 task 5 — every driver
+    with a search loop can run it sharded)."""
+    from differentiable_ransac_tpu.data.datasets import (
+        write_synthetic_rigid_record,
+    )
+
+    data = tmp_path / "test"
+    data.mkdir(parents=True)
+    for i in range(4):
+        write_synthetic_rigid_record(str(data / f"scan_{i}.npz"),
+                                     n_points=96, seed=i, noise=0.01,
+                                     outlier_ratio=0.3)
+
+    out = tmp_path / "out"
+    monkeypatch.setattr(sys, "argv", [
+        "eval_point.py",
+        "-pth", str(tmp_path), "-bs", "4", "-max", "96", "-us", "0",
+        "-maxit", "256", "-t", "0.05",
+        "--mesh", "2,4",
+        "-o", str(out),
+    ])
+    runpy.run_path(os.path.join(REPO, "scripts", "eval_point.py"),
+                   run_name="__main__")
+    printed = capsys.readouterr().out
+    assert "mesh: {'pairs': 2, 'hyp': 4}" in printed
+    # easy synthetic scans: near-perfect registration
+    import re
+
+    m = re.search(r"RRE=([\d.]+)deg .*RR=([\d.]+)", printed)
+    assert m, printed
+    assert float(m.group(1)) < 1.0 and float(m.group(2)) == 1.0, printed
