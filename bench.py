@@ -38,13 +38,14 @@ HYPOTHESES = 2048  # per pair
 PEAK_FLOPS = {"tpu": 197e12, "cpu": 1e12}
 
 
-def _problem_arrays():
+def _problem_arrays(noise: float = 0.5, outlier_ratio: float = 0.3):
     import jax
     import jax.numpy as jnp
 
     from differentiable_ransac_tpu.data.synthetic import two_view_problem
 
-    probs = [two_view_problem(n_points=N_POINTS, noise=0.5, outlier_ratio=0.3, seed=i)
+    probs = [two_view_problem(n_points=N_POINTS, noise=noise,
+                              outlier_ratio=outlier_ratio, seed=i)
              for i in range(PAIRS)]
     pts = jnp.asarray(np.stack([p["matches"] for p in probs]))
     logits = jnp.zeros((PAIRS, N_POINTS), jnp.float32)
@@ -73,8 +74,7 @@ def _time_jitted(run, args_fn, iters=5):
     return (time.perf_counter() - t0) / iters, flops
 
 
-def measure_tpu(solver_precision: int = 2,
-                rescued: bool = False, draft=(0, 0)):
+def measure_tpu(solver_precision: int = 2, rescued: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -86,8 +86,6 @@ def measure_tpu(solver_precision: int = 2,
         sampler=SamplerKind.GUMBEL,
         threshold=2.0,
         solver_precision=solver_precision,
-        draft_root_iters=draft[0],
-        draft_root_polish=draft[1],
     )
     pts, logits = _problem_arrays()
     thr = jnp.asarray(2.0 / 1000.0, jnp.float32)
@@ -110,12 +108,13 @@ def measure_tpu(solver_precision: int = 2,
     return hyps / dt, dt, (flops / dt if flops else None)
 
 
-def measure_eval_path(draft_iters: int = 0, draft_polish: int = 0):
+def measure_eval_path(noise: float = 0.5, outlier_ratio: float = 0.3):
     """The adaptive search the eval scripts run (``ransac_test_fast``).
 
-    ``draft_iters/draft_polish`` > 0 benchmark the reduced-Aberth DRAFT
-    budget for the f32 prescreen core (``RansacConfig.draft_root_iters``) —
-    ranking-only precision; carried winners are re-solved at f64."""
+    The default arguments are the EASY case (the adaptive bound closes at
+    ~512 iters/pair — per-pair tail dominated); ``outlier_ratio >= 0.6``
+    is the low-inlier regime adaptive search exists for (bound stays open
+    for thousands of iterations; VERDICT r3 task 2's ``hard_pair``)."""
     import jax
     import jax.numpy as jnp
 
@@ -123,10 +122,8 @@ def measure_eval_path(draft_iters: int = 0, draft_polish: int = 0):
     from differentiable_ransac_tpu.engine import ransac_test_fast
 
     cfg = RansacConfig(model=ModelKind.ESSENTIAL, sampler=SamplerKind.GUMBEL,
-                       threshold=2.0, max_iterations=5000,
-                       draft_root_iters=draft_iters,
-                       draft_root_polish=draft_polish)
-    pts, logits = _problem_arrays()
+                       threshold=2.0, max_iterations=5000)
+    pts, logits = _problem_arrays(noise=noise, outlier_ratio=outlier_ratio)
     thr = jnp.asarray(2.0 / 1000.0, jnp.float32)
 
     @jax.jit
@@ -296,10 +293,6 @@ def main():
     mfu = None
     for name, kw in (
         ("mixed_rescued", dict(rescued=True)),
-        # Reduced-Aberth draft ranking: final quality identical (carried
-        # winners re-solved at full-budget f64; bit-identical best models
-        # on 16 synthetic problems, tests/test_engine_fixed.py draft test).
-        ("mixed_rescued_draft", dict(rescued=True, draft=(16, 2))),
         ("f64_core", dict(solver_precision=2)),
     ):
         try:
@@ -324,13 +317,16 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"# eval_path failed: {e}", file=sys.stderr)
 
-    eval_draft = {}
+    eval_hard = {}
     try:
-        eval_draft = measure_eval_path(draft_iters=16, draft_polish=2)
-        print(f"# eval_path[draft 16/2]: {eval_draft['pairs_per_s']:.1f} pairs/s "
-              f"({eval_draft['ms_per_pair']:.1f} ms/pair)", file=sys.stderr)
+        eval_hard = measure_eval_path(noise=1.0, outlier_ratio=0.65)
+        print(f"# eval_path[hard 65% outliers]: "
+              f"{eval_hard['pairs_per_s']:.1f} pairs/s "
+              f"({eval_hard['ms_per_pair']:.1f} ms/pair, "
+              f"{eval_hard['adaptive_iters_per_pair']:.0f} adaptive iters, "
+              f"{eval_hard['hyp_per_s']:.0f} hyp/s)", file=sys.stderr)
     except Exception as e:  # pragma: no cover
-        print(f"# eval_path draft failed: {e}", file=sys.stderr)
+        print(f"# eval_path hard failed: {e}", file=sys.stderr)
 
     stages = {}
     try:
@@ -353,7 +349,7 @@ def main():
         "vs_baseline": round(ours / baseline, 2) if baseline == baseline else None,
         "mfu_bf16peak": round(mfu, 5) if mfu else None,
         "eval_path": {k: (round(v, 2) if v else v) for k, v in eval_path.items()},
-        "eval_path_draft": {k: (round(v, 2) if v else v) for k, v in eval_draft.items()},
+        "eval_path_hard": {k: (round(v, 2) if v else v) for k, v in eval_hard.items()},
         "stages_ms": {k: round(v, 2) for k, v in stages.items()},
         "backend": backend,
     }))

@@ -126,14 +126,6 @@ class RansacConfig:
     # isolation + cumulative-count bisection — guaranteed bracketing; the
     # reference's StrumPolynomialSolver capability, math_utils.py:111-501).
     root_solver: str = "aberth"
-    # Aberth budget for the f32 DRAFT solver core (fast engines' prescreen
-    # pass; 0 = backend default 40 iters / 5 polish steps). Ranking only
-    # needs approximate roots — the carried top-k samples are re-solved at
-    # full f64 precision before selection — so a reduced draft budget
-    # trades zero final accuracy for solver throughput. Never applied to
-    # the f64 core.
-    draft_root_iters: int = 0
-    draft_root_polish: int = 0
     # Preemptive two-stage scoring (fixed-budget search): score every model
     # on `prescreen` points first, fully score only the best `prescreen_keep`
     # fraction. 0 disables. The VPU elementwise tail of H·S·N Sampson

@@ -77,14 +77,15 @@ def _minimal_solver(cfg: RansacConfig):
 
             return solve
 
-        draft = cfg.solver_precision < 2  # draft budget only for the f32 core
-
+        # (The former draft_root_iters/draft_root_polish engine flags were
+        # deleted in round 4: a reduced-Aberth draft ranking pass measured
+        # as a wash on the chip two rounds running — BENCH_r03 229.6k vs
+        # 228.7k hyp/s. The solver-level budget knobs remain on
+        # essential_5pt_nister for direct users.)
         def solve5(sample, weights=None):
             return essential_5pt_nister(
                 sample, weights, solve_dtype=solve_dtype,
-                root_solver=cfg.root_solver,
-                root_iters=cfg.draft_root_iters if draft else 0,
-                root_polish=cfg.draft_root_polish if draft else 0)
+                root_solver=cfg.root_solver)
 
         return solve5
     if cfg.model == ModelKind.FUNDAMENTAL:
@@ -794,8 +795,19 @@ def _fast_search_loop(
 
 
 def _fast_rescue_local(cfg: RansacConfig, points, threshold, point_mask,
-                       st: _FastState, sigma_mult=None):
-    """f64 re-solve of the carried top-k samples + full scoring + argmax.
+                       st: _FastState, sigma_mult=None, refine_k: int = 16):
+    """Two-stage rescue of the carried top-k samples: f32 full-point
+    re-rank, then f64 re-solve of the survivors + full scoring + argmax.
+
+    The f64 minimal solve is the eval path's per-pair fixed tail (measured
+    11.2 ms of a 29.1 ms easy-pair call for rescue_k=64, docs/PROFILE.md
+    §3), but the carried candidates were only ever ranked on the 256-point
+    prescreen subset. Stage 1 re-solves ALL carried samples with the f32
+    core and ranks them on the FULL point set (elementwise-cheap); stage 2
+    pays f64 only for the best ``refine_k`` samples. f32-vs-f64 solve
+    score correlation is 0.97 (PARITY.md F stress cell), so the f64 winner
+    survives the f32 cut with margin. ``refine_k >= rescue_k`` (or 0)
+    disables stage 1 — the round-3 behavior.
 
     Returns ``(model, mask, score)`` of the best rescued model among the
     samples THIS caller carried (the local winner under hypothesis
@@ -803,15 +815,38 @@ def _fast_rescue_local(cfg: RansacConfig, points, threshold, point_mask,
     scores).
     """
     model_dim = 3 if cfg.model != ModelKind.RIGID else 4
+    weighted = cfg.weighted and cfg.sampler != SamplerKind.UNIFORM
+
+    samples, weights = st.topk_samples, st.topk_weights
+    carried = st.topk_scores > -jnp.inf
+    K = samples.shape[0]
+    if 0 < refine_k < K:
+        solver32 = _minimal_solver(cfg.replace(solver_precision=1))
+        if weighted:
+            models32, valid32 = jax.vmap(solver32)(samples, weights)
+        else:
+            models32, valid32 = jax.vmap(solver32)(samples)
+        S = models32.shape[1]
+        flat32 = models32.reshape((-1, model_dim, model_dim))
+        fv32 = valid32.reshape(-1) & jnp.repeat(carried, S)
+        scores32, _ = _score(cfg, points, flat32, threshold, point_mask,
+                             sigma_mult)
+        scores32 = jnp.where(fv32, scores32, -jnp.inf)
+        per_sample = jnp.max(scores32.reshape(K, S), axis=-1)
+        _, top_idx = jax.lax.top_k(per_sample, refine_k)
+        samples = samples[top_idx]
+        weights = weights[top_idx]
+        carried = per_sample[top_idx] > -jnp.inf
+
     solver64 = _minimal_solver(cfg.replace(solver_precision=2))
-    if cfg.weighted and cfg.sampler != SamplerKind.UNIFORM:
-        models64, valid64 = jax.vmap(solver64)(st.topk_samples, st.topk_weights)
+    if weighted:
+        models64, valid64 = jax.vmap(solver64)(samples, weights)
     else:
-        models64, valid64 = jax.vmap(solver64)(st.topk_samples)
+        models64, valid64 = jax.vmap(solver64)(samples)
     flat64 = models64.reshape((-1, model_dim, model_dim))
     fv64 = valid64.reshape(-1)
     # samples never merged in (score -inf) hold zero matrices: mask them
-    fv64 = fv64 & (jnp.repeat(st.topk_scores, models64.shape[1]) > -jnp.inf)
+    fv64 = fv64 & jnp.repeat(carried, models64.shape[1])
     scores64, masks64 = _score(cfg, points, flat64, threshold, point_mask,
                                sigma_mult)
     scores64 = jnp.where(fv64, scores64, -jnp.inf)
@@ -829,6 +864,7 @@ def ransac_test_fast(
     chunk: int = 512,
     rescue_k: int = 64,
     sigma_mult=None,
+    rescue_refine: int = 16,
 ):
     """Adaptive best-model search at fixed-budget-engine speed.
 
@@ -871,7 +907,8 @@ def ransac_test_fast(
     st = _fast_search_loop(cfg, points, logits, key, threshold, point_mask,
                            chunk, rescue_k, sigma_mult=sigma_mult)
     model, mask, score = _fast_rescue_local(cfg, points, threshold,
-                                            point_mask, st, sigma_mult)
+                                            point_mask, st, sigma_mult,
+                                            refine_k=rescue_refine)
     final = _BestState(
         score=score,
         model=model,

@@ -44,28 +44,6 @@ def test_ransac_fixed_prescreen_matches_full():
     assert float(pre["best_score"]) <= float(full["best_score"]) + 1e-3
 
 
-def test_ransac_fixed_rescued_draft_matches_full_budget():
-    """The reduced-Aberth DRAFT ranking pass must not change the rescued
-    engine's final model quality: carried winners are re-solved at
-    full-budget f64 before selection, so only the RANKING uses draft roots
-    (bench variant ``mixed_rescued_draft`` relies on this equivalence)."""
-    p = two_view_problem(n_points=500, noise=1.0, outlier_ratio=0.4, seed=4)
-    pts = jnp.asarray(p["matches"])
-    lg = jnp.zeros((500,), jnp.float32)
-    base = RansacConfig(model=ModelKind.ESSENTIAL, sampler=SamplerKind.GUMBEL,
-                        threshold=2.0)
-    outs = {}
-    for di, dp in [(0, 0), (16, 2)]:
-        cfg = base.replace(draft_root_iters=di, draft_root_polish=dp)
-        outs[(di, dp)] = jax.jit(
-            lambda k, cfg=cfg: ransac_fixed_rescued(
-                cfg, pts, lg, k, threshold=2e-3, num_hypotheses=512)
-        )(jax.random.PRNGKey(7))
-    d_full = _model_distance(np.asarray(outs[(0, 0)]["best_model"]), p["E"])
-    d_draft = _model_distance(np.asarray(outs[(16, 2)]["best_model"]), p["E"])
-    assert d_draft <= d_full + 5e-3, (d_draft, d_full)
-
-
 def test_ransac_fixed_rescued_quality():
     """Mixed-precision rescue must deliver f64-class model quality."""
     p = two_view_problem(n_points=600, noise=0.5, outlier_ratio=0.3, seed=3)

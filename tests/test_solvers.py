@@ -47,10 +47,9 @@ def test_essential_5pt_recovers_gt(seed):
 
 @pytest.mark.parametrize("seed", range(4))
 def test_essential_5pt_draft_budget_recovers_gt(seed):
-    """Reduced Aberth budget (the fast engines' f32 DRAFT prescreen core,
-    ``RansacConfig.draft_root_iters``) must still solve clean minimal
-    samples — ranking correctness is all the draft pass provides; carried
-    winners are re-solved at full budget/f64."""
+    """Reduced Aberth budget (``essential_5pt_nister(root_iters=...)``,
+    a solver-level knob for ranking-only use) must still solve clean
+    minimal samples."""
     p = two_view_problem(n_points=5, seed=seed + 300)
     m = jnp.asarray(p["matches"], jnp.float32)
 
