@@ -165,18 +165,28 @@ def _clip_sample_cotangent(samples, max_norm):
     the per-example analogue of the reference's skip-batch-on-NaN guard
     (``/root/reference/train.py:145-182``), acting on heavy tails instead
     of only infinities.
+
+    The bound is applied to ``‖g‖ · rms(sample)`` — the loss change per
+    RELATIVE coordinate perturbation — so it is invariant to the
+    coordinate units: E-mode samples are calibrated (rms ≲ 1, the floor
+    makes the bound ≈ max_norm absolute) while F-mode samples are PIXELS
+    (rms ~300), where an absolute bound of 1.0 still let ~1e4 gradient
+    norms through and F-mode training stalled exactly like E-mode had.
     """
     del max_norm
     return samples
 
 
 def _csc_fwd(samples, max_norm):
-    return samples, max_norm
+    return samples, (samples, max_norm)
 
 
-def _csc_bwd(max_norm, g):
+def _csc_bwd(res, g):
+    samples, max_norm = res
+    rms = jnp.sqrt(jnp.mean(jnp.square(samples), axis=(-2, -1), keepdims=True))
+    bound = max_norm / jnp.maximum(jax.lax.stop_gradient(rms), 1.0)
     n = jnp.sqrt(jnp.sum(jnp.square(g), axis=(-2, -1), keepdims=True))
-    scale = jnp.minimum(1.0, max_norm / jnp.maximum(n, 1e-30))
+    scale = jnp.minimum(1.0, bound / jnp.maximum(n, 1e-30))
     return g * scale, jnp.zeros_like(max_norm)
 
 
