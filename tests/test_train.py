@@ -107,6 +107,10 @@ def test_train_step_fundamental_mode():
     state2, metrics = step(state, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["classification_loss"]))
+    # F samples are PIXELS: the scale-aware cotangent clip must bound the
+    # solver-VJP tail in these units too (absolute clipping left ~1e4
+    # norms and F-mode training stalled — round-4 finding)
+    assert float(metrics["grad_norm"]) < 1e3
 
 
 def test_train_step_rigid():
