@@ -315,6 +315,7 @@ def ransac_fixed_rescued(
     num_hypotheses: Optional[int] = None,
     rescue_k: int = 64,
     sigma_mult=None,
+    rescue_refine: int = 16,
 ):
     """Mixed-precision fixed-budget search: f32 solver cores rank ALL
     hypothesis samples (4-8× faster than f64 on TPU), then the top
@@ -322,6 +323,13 @@ def ransac_fixed_rescued(
     quality matches the all-f64 pipeline at a fraction of the cost. (The
     f32 tail error of the minimal solvers is ~1e-1 at p99; ranking by MSAC
     support is robust to it, the returned model is not.)
+
+    Two-stage rescue (``rescue_refine``, round 4): before paying f64, the
+    ``rescue_k`` prescreen winners' EXISTING f32 models are re-ranked on
+    the full point set and only the best ``rescue_refine`` samples are
+    f64-re-solved — same quality (f32-vs-f64 score correlation 0.97,
+    PARITY.md), a fraction of the f64 tail. ``rescue_refine >= rescue_k``
+    (or 0) restores the round-3 behavior.
     """
     if threshold is None:
         threshold = cfg.threshold
@@ -365,6 +373,16 @@ def ransac_fixed_rescued(
     per_sample = jnp.max(sub_scores.reshape(H, S), axis=-1)
     k_eff = min(rescue_k, H)
     _, top_samples = jax.lax.top_k(per_sample, k_eff)
+
+    if 0 < rescue_refine < k_eff:
+        # stage 1: full-point re-rank of the carried samples' f32 models
+        sel = (top_samples[:, None] * S + jnp.arange(S)[None, :]).reshape(-1)
+        full32, _ = _score(cfg, points, flat32[sel], threshold, point_mask,
+                           sigma_mult)
+        full32 = jnp.where(fv32[sel], full32, -jnp.inf)
+        per32 = jnp.max(full32.reshape(k_eff, S), axis=-1)
+        _, idx2 = jax.lax.top_k(per32, rescue_refine)
+        top_samples = top_samples[idx2]
 
     # f64 re-solve of the winning samples
     solver64 = _minimal_solver(cfg.replace(solver_precision=2))
