@@ -28,7 +28,8 @@ from differentiable_ransac_tpu.train import _prepare_pair_points
 
 def make_eval_step(model: CLNet, ransac_cfg: RansacConfig, prob_type: int = 2,
                    fast: bool = True, prosac: bool = False,
-                   chunk: int = 512, rescue_k: int = 64):
+                   chunk: int = 512, rescue_k: int = 64,
+                   rescue_refine: int = 16):
     """Jitted per-batch inference: weights → best models + masks + scores.
 
     ``fast=True`` (default) runs the mixed-precision adaptive search
@@ -52,7 +53,8 @@ def make_eval_step(model: CLNet, ransac_cfg: RansacConfig, prob_type: int = 2,
                    sigma_mult=None):
             return ransac_test_fast(cfg, p, w, k, threshold=threshold,
                                     point_mask=point_mask, chunk=chunk,
-                                    rescue_k=rescue_k, sigma_mult=sigma_mult)
+                                    rescue_k=rescue_k, sigma_mult=sigma_mult,
+                                    rescue_refine=rescue_refine)
     else:
         search = ransac_test
 

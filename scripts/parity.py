@@ -420,7 +420,8 @@ def run_ours(folder: str, args):
 
     eval_fn = make_eval_step(model, rcfg, prob_type=getattr(args, "prob", 0),
                              fast=not args.exact,
-                             chunk=args.chunk, rescue_k=args.rescue_k)
+                             chunk=args.chunk, rescue_k=args.rescue_k,
+                             rescue_refine=args.rescue_refine)
     per_key_aggs = []
     warmed = False
     for ki in range(max(1, args.keys)):
@@ -503,6 +504,10 @@ def main():
                          "noise at high outlier/noise levels")
     ap.add_argument("--chunk", type=int, default=512,
                     help="fast-engine hypothesis chunk width")
+    ap.add_argument("--rescue_refine", type=int, default=16,
+                    help="two-stage rescue: f64-re-solve only the best "
+                         "rescue_refine of the carried samples after a "
+                         "full-point f32 re-rank (0 = f64 for all)")
     ap.add_argument("--rescue_k", type=int, default=64,
                     help="fast-engine carried top-k re-solved at f64")
     ap.add_argument("--exact", action="store_true",
