@@ -5,5 +5,6 @@ from differentiable_ransac_tpu.parallel.mesh import (
     sharded_ransac,
     sharded_ransac_adaptive,
     sharded_hypothesis_losses,
+    sharded_rigid_residual_loss,
     sharded_match_loss_hypotheses,
 )

@@ -470,3 +470,68 @@ def sharded_match_loss_hypotheses(
         cfg, mesh, points, logits, gt_models, gt_masks, keys,
         score_points=score_points, Ks=Ks, topk=topk,
     )["match"]
+
+
+def sharded_rigid_residual_loss(
+    cfg: RansacConfig,
+    mesh: Mesh,
+    points: jnp.ndarray,
+    logits: jnp.ndarray,
+    keys: jax.Array,
+):
+    """Rigid-training residual loss over the mesh (the sharded counterpart
+    of ``train.make_train_step_rigid``'s objective, reference
+    ``train_point.py:9-30``): each ``hyp`` shard generates its slice of the
+    hypotheses and contributes partial (Σ residual, Σ valid) sums; the
+    psum-reduced mean equals the single-device
+    ``mean(ransac_train_rigid(...)[3])`` over the union of shard lane sets.
+    Differentiable through the collectives.
+
+    Args:
+        points: (B, N, 6) src‖ref 3D correspondences.
+        logits: (B, N) sampler scores (gradient target).
+        keys: (B,) uint32 per-pair seeds.
+
+    Returns:
+        scalar loss.
+    """
+    fn = _sharded_rigid_residual_fn(cfg, mesh)
+    return fn(points, logits, keys)[0]
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_rigid_residual_fn(cfg: RansacConfig, mesh: Mesh):
+    from differentiable_ransac_tpu.engine import ransac_train_rigid
+
+    n_hyp = mesh.shape["hyp"]
+    n_pairs = mesh.shape["pairs"]
+    local_h = -(-cfg.num_hypotheses // n_hyp)
+    local_cfg = cfg.replace(
+        max_iterations=local_h,
+        ransac_batch_size=min(cfg.ransac_batch_size, local_h),
+    )
+
+    def per_pair(pts, lg, seed):
+        shard = jax.lax.axis_index("hyp")
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), shard)
+        _, valid, res_sums, _ = ransac_train_rigid(local_cfg, pts, lg, key)
+        # res_sums are already zeroed on invalid hypotheses
+        return jnp.sum(res_sums), jnp.sum(valid.astype(pts.dtype))
+
+    def shard_fn(points_blk, logits_blk, keys_blk):
+        s, c = jax.vmap(per_pair)(points_blk, logits_blk, keys_blk)
+        s = jax.lax.psum(s, "hyp")  # (Bp,)
+        c = jax.lax.psum(c, "hyp")
+        N = points_blk.shape[1]
+        per_pair_mean = s / (jnp.maximum(c, 1.0) * N)
+        total = jax.lax.psum(jnp.sum(per_pair_mean), "pairs")
+        B = points_blk.shape[0] * n_pairs
+        return total[None] / B
+
+    return jax.jit(jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("pairs"),) * 3,
+        out_specs=P(),
+        check_vma=False,
+    ))

@@ -360,6 +360,47 @@ def make_train_step_rigid(model: CLNet, tx, cfg: TrainConfig, ransac_cfg: Ransac
     return train_step
 
 
+def make_train_step_rigid_mesh(model: CLNet, tx, cfg: TrainConfig,
+                               ransac_cfg: RansacConfig, mesh):
+    """Rigid train step over a ``(pairs, hyp)`` mesh — the multi-chip
+    counterpart of :func:`make_train_step_rigid` (``train_point.py --mesh``):
+    CLNet forward auto-sharded over the batch, hypothesis generation + the
+    residual loss under ``shard_map``
+    (:func:`differentiable_ransac_tpu.parallel.sharded_rigid_residual_loss`).
+    """
+    from differentiable_ransac_tpu.parallel import sharded_rigid_residual_loss
+
+    def loss_fn(params, batch_stats, batch, key):
+        feats = batch["correspondences"]
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            feats,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        weights = select_prob_type(out, int(cfg.prob_type))
+        pts = feats[..., :6]
+        B = pts.shape[0]
+        seeds = jax.random.randint(
+            key, (B,), 0, jnp.iinfo(jnp.int32).max).astype(jnp.uint32)
+        loss = sharded_rigid_residual_loss(ransac_cfg, mesh, pts, weights,
+                                           seeds)
+        metrics = {"loss": loss}
+        return loss, (mutated.get("batch_stats", batch_stats), metrics)
+
+    @jax.jit
+    def train_step(state: TrainState, batch, key):
+        (loss, (new_stats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, key)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params, new_stats, new_opt, state.step + 1), metrics
+
+    return train_step
+
+
 # ---------------------------------------------------------------------------
 # Checkpointing (params + optimizer state + step; the reference only saves
 # model weights per epoch, ``train.py:186``)

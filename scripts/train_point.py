@@ -26,17 +26,30 @@ from differentiable_ransac_tpu.utils import MetricsLogger, build_parser, configs
 def main():
     parser = build_parser("TPU ∇-RANSAC 3D registration training")
     parser.add_argument("--num_points", "-max", type=int, default=4000)
+    parser.add_argument("--mesh", default=None,
+                        help="multi-chip (pairs,hyp) mesh: 'P,H' or 'auto'; "
+                             "hypothesis generation + residual loss are "
+                             "sharded. Requires -bs divisible by P.")
     args = parser.parse_args()
     args.tr = 1
     tcfg, rcfg = configs_from_args(args)
     rcfg = rcfg.replace(model=ModelKind.RIGID, threshold=0.03, max_iterations=1000)
+
+    from differentiable_ransac_tpu.parallel import mesh_from_spec
+
+    mesh = mesh_from_spec(args.mesh, tcfg.batch_size)
 
     ds = ThreeDRecords([os.path.join(args.data_path, "train/")], num=args.num_points)
     tx = create_optimizer(tcfg, steps_per_epoch=max(1, len(ds) // tcfg.batch_size))
     model, state = create_train_state(jax.random.PRNGKey(tcfg.seed), tcfg, args.num_points, tx)
     if args.model:
         state = load_checkpoint(args.model, state)
-    step_fn = make_train_step_rigid(model, tx, tcfg, rcfg)
+    if mesh is not None:
+        from differentiable_ransac_tpu.train import make_train_step_rigid_mesh
+
+        step_fn = make_train_step_rigid_mesh(model, tx, tcfg, rcfg, mesh)
+    else:
+        step_fn = make_train_step_rigid(model, tx, tcfg, rcfg)
     logger = MetricsLogger(args.out_dir, session_string("point", tcfg, rcfg))
     key = jax.random.PRNGKey(tcfg.seed + 1)
 

@@ -241,3 +241,47 @@ def test_sharded_pose_loss_matches_single_device():
             jnp.concatenate(ms), jnp.concatenate(vs),
             pts[b, :, :2], pts[b, :, 2:4], R[b], t[b], svd=False)))
     np.testing.assert_allclose(float(pose_val), np.mean(expected), rtol=2e-4)
+
+
+def test_sharded_rigid_residual_loss_matches_single_device():
+    """The rigid-training residual loss over the mesh must equal the
+    single-device mean over the union of the shard lane sets, with finite
+    nonzero gradients (completes §2.13: every TRAIN path has a sharded
+    counterpart)."""
+    from differentiable_ransac_tpu.engine import ransac_train_rigid
+    from differentiable_ransac_tpu.parallel import sharded_rigid_residual_loss
+
+    n_shards = 4
+    mesh = make_mesh(pairs=2, hyp=n_shards)
+    probs = [rigid_problem(n_points=64, noise=0.01, outlier_ratio=0.3,
+                           seed=30 + i) for i in range(2)]
+    pts = jnp.asarray(np.stack([p["points"] for p in probs]))
+    cfg = RansacConfig(model=ModelKind.RIGID, sampler=SamplerKind.GUMBEL,
+                       max_iterations=16, ransac_batch_size=8, train=True,
+                       threshold=0.05, solver_precision=1)
+    B, N = pts.shape[:2]
+    keys = jnp.arange(B, dtype=jnp.uint32)
+
+    def loss(logits):
+        return sharded_rigid_residual_loss(cfg, mesh, pts, logits, keys)
+
+    val, g = jax.value_and_grad(loss)(jnp.zeros((B, N), jnp.float32))
+    assert np.isfinite(float(val)) and float(val) > 0
+    g = np.asarray(g)
+    assert np.isfinite(g).all() and np.abs(g).sum() > 0
+
+    # replicate the per-shard lane sets on one device
+    local_h = -(-cfg.num_hypotheses // n_shards)
+    local_cfg = cfg.replace(max_iterations=local_h,
+                            ransac_batch_size=min(cfg.ransac_batch_size, local_h))
+    logits0 = jnp.zeros((N,), jnp.float32)
+    expected = []
+    for b in range(B):
+        s_tot, c_tot = 0.0, 0.0
+        for shard in range(n_shards):
+            key = jax.random.fold_in(jax.random.PRNGKey(int(keys[b])), shard)
+            _, v, rs, _ = ransac_train_rigid(local_cfg, pts[b], logits0, key)
+            s_tot += float(jnp.sum(rs))
+            c_tot += float(jnp.sum(v))
+        expected.append(s_tot / (max(c_tot, 1.0) * N))
+    np.testing.assert_allclose(float(val), np.mean(expected), rtol=2e-5)

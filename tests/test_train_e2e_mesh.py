@@ -77,3 +77,35 @@ def test_eval_point_cli_mesh_path(tmp_path, monkeypatch, capsys):
     m = re.search(r"RRE=([\d.]+)deg .*RR=([\d.]+)", printed)
     assert m, printed
     assert float(m.group(1)) < 1.0 and float(m.group(2)) == 1.0, printed
+
+
+def test_train_point_cli_mesh_path(tmp_path, monkeypatch, capsys):
+    """``scripts/train_point.py --mesh``: the rigid TRAINING driver runs
+    hypothesis generation + residual loss sharded (completes SURVEY §2.13:
+    every train/eval driver with a search loop has a --mesh path)."""
+    from differentiable_ransac_tpu.data.datasets import (
+        write_synthetic_rigid_record,
+    )
+
+    data = tmp_path / "train"
+    data.mkdir(parents=True)
+    for i in range(4):
+        write_synthetic_rigid_record(str(data / f"scan_{i}.npz"),
+                                     n_points=64, seed=i, noise=0.01,
+                                     outlier_ratio=0.3)
+
+    out = tmp_path / "out"
+    monkeypatch.setattr(sys, "argv", [
+        "train_point.py",
+        "-pth", str(tmp_path), "-bs", "4", "-max", "64", "-e", "1",
+        "-maxit", "16", "-rbs", "8", "-sam", "1",
+        "--mesh", "2,4",
+        "-o", str(out),
+    ])
+    runpy.run_path(os.path.join(REPO, "scripts", "train_point.py"),
+                   run_name="__main__")
+    printed = capsys.readouterr().out
+    assert "mesh: {'pairs': 2, 'hyp': 4}" in printed
+    sessions = list(out.iterdir())
+    assert sessions and any(f.name.startswith("model_epoch")
+                            for f in sessions[0].iterdir())
