@@ -22,17 +22,22 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from differentiable_ransac_tpu.data.datasets import write_synthetic_two_view_record
+from differentiable_ransac_tpu.data.datasets import (
+    write_synthetic_rigid_record,
+    write_synthetic_two_view_record,
+)
 
 
 def write_split(folder: str, n: int, nf: int, rng: np.random.Generator,
-                noise_range, outlier_range, seed_base: int):
+                noise_range, outlier_range, seed_base: int, rigid: bool = False):
     os.makedirs(folder, exist_ok=True)
+    writer = write_synthetic_rigid_record if rigid else write_synthetic_two_view_record
+    ext = "npz" if rigid else "npy"
     for i in range(n):
         noise = float(rng.uniform(*noise_range))
         outliers = float(rng.uniform(*outlier_range))
-        write_synthetic_two_view_record(
-            os.path.join(folder, f"pair_{i:05d}.npy"),
+        writer(
+            os.path.join(folder, f"pair_{i:05d}.{ext}"),
             n_points=nf, seed=seed_base + i, noise=noise,
             outlier_ratio=outliers,
         )
@@ -54,11 +59,29 @@ def main():
     ap.add_argument("--seed", type=int, default=100000,
                     help="base record seed (train records use seed..seed+N; "
                          "keep disjoint from the PARITY eval seeds 0..63)")
+    ap.add_argument("--rigid", type=int, default=0,
+                    help="1: write 3DMatch-style rigid .npz records "
+                         "(Dataset3D layout) under <out>/{train,test}/ — "
+                         "the directory shape scripts/train_point.py and "
+                         "scripts/eval_point.py consume. Noise is in metric "
+                         "units (defaults 0.005-0.03 if the ranges were "
+                         "left at their pixel-scale defaults).")
     args = ap.parse_args()
+
+    if args.rigid and args.noise_lo == 0.25 and args.noise_hi == 2.0:
+        args.noise_lo, args.noise_hi = 0.005, 0.03
 
     rng = np.random.default_rng(args.seed)
     noise_range = (args.noise_lo, args.noise_hi)
     outlier_range = (args.outlier_lo, args.outlier_hi)
+    if args.rigid:
+        # train_point.py reads <data_path>/train/, eval_point.py <data_path>/test/
+        write_split(os.path.join(args.out, "train"), args.train, args.nf, rng,
+                    noise_range, outlier_range, args.seed, rigid=True)
+        write_split(os.path.join(args.out, "test"), max(args.valid, args.test),
+                    args.nf, rng, noise_range, outlier_range,
+                    args.seed + args.train, rigid=True)
+        return
     root = os.path.join(args.out, args.scene)
     write_split(os.path.join(root, "train_data"), args.train, args.nf, rng,
                 noise_range, outlier_range, args.seed)
