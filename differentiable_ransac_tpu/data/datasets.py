@@ -236,30 +236,59 @@ class ThreeDRecords:
 
 def write_synthetic_two_view_record(path: str, n_points: int = 500, seed: int = 0,
                                     im_size=(1024, 1024), focal: float = 1000.0,
-                                    noise: float = 0.5, outlier_ratio: float = 0.3):
+                                    noise: float = 0.5, outlier_ratio: float = 0.3,
+                                    realistic: bool = False):
     """Emit a synthetic record in the reference's exact 15-field ``.npy``
-    layout — used by tests and demos in place of PhotoTourism data."""
-    from differentiable_ransac_tpu.data.synthetic import two_view_problem
+    layout — used by tests and demos in place of PhotoTourism data.
 
-    p = two_view_problem(n_points=n_points, noise=noise, outlier_ratio=outlier_ratio,
-                         seed=seed, focal=focal, im_size=im_size)
+    ``realistic=True`` (corpus writers / PARITY, VERDICT r4 task 2) uses
+    :func:`~differentiable_ransac_tpu.data.synthetic.realistic_two_view_problem`:
+    varied per-camera intrinsics (K1≠K2), a general/planar/forward scene
+    mixture, keypoint-pool mismatch outliers, and side channels (SNN
+    ratio, feature scale, orientation) CORRELATED with inlier status the
+    way SIFT statistics are — the signal the reference's 7-channel CLNet
+    input exists to exploit (``/root/reference/datasets.py:67-95``).
+    ``realistic=False`` keeps the historical uncorrelated-noise channels
+    the unit tests calibrate against; ``im_size``/``focal`` only apply
+    there (the realistic generator samples its own intrinsics).
+    """
+    from differentiable_ransac_tpu.data.synthetic import (
+        realistic_two_view_problem,
+        two_view_problem,
+    )
+
     rng = np.random.default_rng(seed)
     n = n_points
+    if realistic:
+        p = realistic_two_view_problem(
+            n_points=n_points, noise=noise, outlier_ratio=outlier_ratio,
+            seed=seed)
+        ratios = p["ratios"].reshape(1, n, 1)
+        f_size1 = p["f_size1"].reshape(1, n, 1)
+        f_size2 = p["f_size2"].reshape(1, n, 1)
+        ang1 = p["ang1"].reshape(1, n, 1)
+        ang2 = p["ang2"].reshape(1, n, 1)
+    else:
+        p = two_view_problem(n_points=n_points, noise=noise,
+                             outlier_ratio=outlier_ratio,
+                             seed=seed, focal=focal, im_size=im_size)
+        p["K1"] = p["K2"] = p["K"]
+        p["im_size1"] = p["im_size2"] = p["im_size"]
+        ratios = rng.uniform(0.2, 1.0, (1, n, 1)).astype(np.float32)
+        f_size1 = rng.uniform(1, 4, (1, n, 1)).astype(np.float32)
+        f_size2 = rng.uniform(1, 4, (1, n, 1)).astype(np.float32)
+        ang1 = rng.uniform(0, 360, (1, n, 1)).astype(np.float32)
+        ang2 = rng.uniform(0, 360, (1, n, 1)).astype(np.float32)
     pts1 = p["matches_px"][:, :2][None]  # (1, N, 2)
     pts2 = p["matches_px"][:, 2:][None]
-    ratios = rng.uniform(0.2, 1.0, (1, n, 1)).astype(np.float32)
-    f_size1 = rng.uniform(1, 4, (1, n, 1)).astype(np.float32)
-    f_size2 = rng.uniform(1, 4, (1, n, 1)).astype(np.float32)
-    ang1 = rng.uniform(0, 360, (1, n, 1)).astype(np.float32)
-    ang2 = rng.uniform(0, 360, (1, n, 1)).astype(np.float32)
     record = np.empty(15, object)
     record[0] = pts1
     record[1] = pts2
     record[2] = ratios
-    record[3] = list(p["im_size"])
-    record[4] = list(p["im_size"])
-    record[5] = p["K"]
-    record[6] = p["K"]
+    record[3] = list(p["im_size1"])
+    record[4] = list(p["im_size2"])
+    record[5] = p["K1"]
+    record[6] = p["K2"]
     record[7] = p["R"]
     record[8] = p["t"].reshape(3, 1)
     record[9] = f_size1
@@ -273,19 +302,35 @@ def write_synthetic_two_view_record(path: str, n_points: int = 500, seed: int = 
 
 
 def write_synthetic_rigid_record(path: str, n_points: int = 1000, seed: int = 0,
-                                 noise: float = 0.01, outlier_ratio: float = 0.4):
+                                 noise: float = 0.01, outlier_ratio: float = 0.4,
+                                 mismatch_outliers: float = 0.0):
     """Emit a synthetic 3D record in the reference's ``Dataset3D`` ``.npz``
     layout (``/root/reference/datasets.py:326-336``: ``transform``,
     ``corr_scores``, ``src_corr_points``, ``ref_corr_points``) so the torch
-    reference and this framework can consume the IDENTICAL file."""
+    reference and this framework can consume the IDENTICAL file.
+
+    ``mismatch_outliers > 0`` draws that fraction of outliers as
+    point-pool mismatches and switches the correspondence scores from the
+    historical cleanly-separated cue to OVERLAPPING Gaussians (inliers
+    N(0.7, 0.15), outliers N(0.4, 0.15), clipped to [0, 1]) — what a real
+    3D feature matcher produces (VERDICT r4 task 2 realism)."""
     from differentiable_ransac_tpu.data.synthetic import rigid_problem
 
     p = rigid_problem(n_points=n_points, noise=noise,
-                      outlier_ratio=outlier_ratio, seed=seed)
+                      outlier_ratio=outlier_ratio, seed=seed,
+                      mismatch_outliers=mismatch_outliers)
     rng = np.random.default_rng(seed)
-    # correspondence scores: noisy inlier cue, as a matcher would produce
-    scores = (p["inlier_mask"].astype(np.float32) * 0.5 + 0.25
-              + rng.uniform(-0.2, 0.2, n_points).astype(np.float32))
+    inl = p["inlier_mask"].astype(np.float32)
+    if mismatch_outliers > 0:
+        scores = np.clip(np.where(
+            p["inlier_mask"],
+            rng.normal(0.7, 0.15, n_points),
+            rng.normal(0.4, 0.15, n_points),
+        ), 0.0, 1.0).astype(np.float32)
+    else:
+        # historical: noisy but separable inlier cue
+        scores = (inl * 0.5 + 0.25
+                  + rng.uniform(-0.2, 0.2, n_points).astype(np.float32))
     np.savez(path, transform=p["transform"], corr_scores=scores,
              src_corr_points=p["points"][:, :3],
              ref_corr_points=p["points"][:, 3:])

@@ -29,19 +29,23 @@ from differentiable_ransac_tpu.data.datasets import (
 
 
 def write_split(folder: str, n: int, nf: int, rng: np.random.Generator,
-                noise_range, outlier_range, seed_base: int, rigid: bool = False):
+                noise_range, outlier_range, seed_base: int, rigid: bool = False,
+                realistic: bool = True):
     os.makedirs(folder, exist_ok=True)
     writer = write_synthetic_rigid_record if rigid else write_synthetic_two_view_record
     ext = "npz" if rigid else "npy"
     for i in range(n):
         noise = float(rng.uniform(*noise_range))
         outliers = float(rng.uniform(*outlier_range))
+        kw = ({"mismatch_outliers": 0.8} if rigid else
+              {"realistic": True}) if realistic else {}
         writer(
             os.path.join(folder, f"pair_{i:05d}.{ext}"),
             n_points=nf, seed=seed_base + i, noise=noise,
-            outlier_ratio=outliers,
+            outlier_ratio=outliers, **kw,
         )
-    print(f"{folder}: {n} records (noise {noise_range}, outliers {outlier_range})")
+    print(f"{folder}: {n} records (noise {noise_range}, outliers {outlier_range}, "
+          f"realistic={realistic})")
 
 
 def main():
@@ -59,6 +63,13 @@ def main():
     ap.add_argument("--seed", type=int, default=100000,
                     help="base record seed (train records use seed..seed+N; "
                          "keep disjoint from the PARITY eval seeds 0..63)")
+    ap.add_argument("--realistic", type=int, default=1,
+                    help="1 (default): distribution-honest records — "
+                         "correlated SIFT-like side channels, keypoint-pool "
+                         "mismatch outliers, varied intrinsics, "
+                         "general/planar/forward scene mixture (VERDICT r4 "
+                         "task 2). 0: the historical uncorrelated-noise "
+                         "generator (round ≤4 corpora).")
     ap.add_argument("--rigid", type=int, default=0,
                     help="1: write 3DMatch-style rigid .npz records "
                          "(Dataset3D layout) under <out>/{train,test}/ — "
@@ -77,21 +88,26 @@ def main():
     if args.rigid:
         # train_point.py reads <data_path>/train/, eval_point.py <data_path>/test/
         write_split(os.path.join(args.out, "train"), args.train, args.nf, rng,
-                    noise_range, outlier_range, args.seed, rigid=True)
+                    noise_range, outlier_range, args.seed, rigid=True,
+                    realistic=bool(args.realistic))
         write_split(os.path.join(args.out, "test"), max(args.valid, args.test),
                     args.nf, rng, noise_range, outlier_range,
-                    args.seed + args.train, rigid=True)
+                    args.seed + args.train, rigid=True,
+                    realistic=bool(args.realistic))
         return
     root = os.path.join(args.out, args.scene)
     write_split(os.path.join(root, "train_data"), args.train, args.nf, rng,
-                noise_range, outlier_range, args.seed)
+                noise_range, outlier_range, args.seed,
+                realistic=bool(args.realistic))
     if args.valid:
         write_split(os.path.join(root, "valid_data"), args.valid, args.nf,
-                    rng, noise_range, outlier_range, args.seed + args.train)
+                    rng, noise_range, outlier_range, args.seed + args.train,
+                    realistic=bool(args.realistic))
     if args.test:
         write_split(os.path.join(root, "test_data"), args.test, args.nf, rng,
                     noise_range, outlier_range,
-                    args.seed + args.train + args.valid)
+                    args.seed + args.train + args.valid,
+                    realistic=bool(args.realistic))
 
 
 if __name__ == "__main__":

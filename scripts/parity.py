@@ -35,7 +35,7 @@ REFERENCE = "/root/reference"
 
 
 def generate_records(folder: str, n_scenes: int, nf: int, noise: float,
-                     outliers: float, seed0: int):
+                     outliers: float, seed0: int, realistic: bool = False):
     from differentiable_ransac_tpu.data.datasets import (
         write_synthetic_two_view_record,
     )
@@ -45,6 +45,7 @@ def generate_records(folder: str, n_scenes: int, nf: int, noise: float,
         write_synthetic_two_view_record(
             os.path.join(folder, f"pair_{i:04d}.npy"),
             n_points=nf, seed=seed0 + i, noise=noise, outlier_ratio=outliers,
+            realistic=realistic,
         )
 
 
@@ -139,7 +140,7 @@ def run_reference(folder: str, args):
 
 
 def generate_rigid_records(folder: str, n_scenes: int, nf: int, noise: float,
-                           outliers: float, seed0: int):
+                           outliers: float, seed0: int, realistic: bool = False):
     from differentiable_ransac_tpu.data.datasets import (
         write_synthetic_rigid_record,
     )
@@ -149,6 +150,7 @@ def generate_rigid_records(folder: str, n_scenes: int, nf: int, noise: float,
         write_synthetic_rigid_record(
             os.path.join(folder, f"scan_{i:04d}.npz"),
             n_points=nf, seed=seed0 + i, noise=noise, outlier_ratio=outliers,
+            mismatch_outliers=0.8 if realistic else 0.0,
         )
 
 
@@ -286,6 +288,28 @@ def run_ours_rigid(folder: str, args):
                         sigma_max=max(args.sigma_max, 0.0))
     ds = ThreeDRecords([folder + "/"], num=args.nf)
 
+    net_apply = None
+    if getattr(args, "our_ckpt", None):
+        # self-trained rigid CLNet ('trained here' column, VERDICT r4 task 1):
+        # weights predicted from the (N, 7) xyz|xyz'|score correspondences
+        from differentiable_ransac_tpu.config import TrainConfig
+        from differentiable_ransac_tpu.models.clnet import select_prob_type
+        from differentiable_ransac_tpu.train import (
+            create_optimizer, create_train_state, load_checkpoint,
+        )
+
+        tcfg = TrainConfig(nfeatures=args.nf)
+        model, state = create_train_state(
+            jax.random.PRNGKey(0), tcfg, args.nf, create_optimizer(tcfg))
+        state = load_checkpoint(args.our_ckpt, state)
+        params, bstats = state.params, state.batch_stats
+        prob = int(getattr(args, "prob", 0))
+
+        def net_apply(corr):
+            out = model.apply({"params": params, "batch_stats": bstats},
+                              corr, train=False)
+            return select_prob_type(out, prob)
+
     if args.sigma_max < 0:  # auto σ from the first scan's residual scale
         b0 = next(iter(ThreeDRecords([folder + "/"], num=args.nf)
                        .batches(args.batch_size, drop_last=False)))
@@ -301,10 +325,13 @@ def run_ours_rigid(folder: str, args):
     @jax.jit
     def infer(corr, key):
         keys = jax.random.split(key, corr.shape[0])
+        if net_apply is not None:
+            weights = net_apply(corr)
+        else:
+            weights = jnp.zeros(corr.shape[:2], corr.dtype)
         return jax.vmap(
-            lambda p, k: ransac_test(rcfg, p[:, :6],
-                                     jnp.zeros(p.shape[0], p.dtype), k)
-        )(corr, keys)
+            lambda p, w, k: ransac_test(rcfg, p[:, :6], w, k)
+        )(corr, weights, keys)
 
     per_key = []
     warmed = False
@@ -422,6 +449,22 @@ def run_ours(folder: str, args):
                              fast=not args.exact,
                              chunk=args.chunk, rescue_k=args.rescue_k,
                              rescue_refine=args.rescue_refine)
+    def permute_side(batch):
+        """Side-channel ablation (VERDICT r4 task 2 'done' criterion): shuffle
+        channels 4:7 (SNN ratio, scale ratio, Δangle) ACROSS correspondences
+        per pair — marginals preserved, correlation with inlier status
+        destroyed. A trained net that uses the side channels must lose
+        accuracy under this."""
+        if not getattr(args, "permute_side", 0):
+            return batch
+        rngp = np.random.default_rng(12345)
+        c = np.array(batch["correspondences"])
+        for b in range(c.shape[0]):
+            c[b, :, 4:7] = c[b, rngp.permutation(c.shape[1]), 4:7]
+        out = dict(batch)
+        out["correspondences"] = c
+        return out
+
     per_key_aggs = []
     warmed = False
     for ki in range(max(1, args.keys)):
@@ -430,6 +473,7 @@ def run_ours(folder: str, args):
         search_time = 0.0
         n_pairs = 0
         for batch in ds.batches(args.batch_size):
+            batch = permute_side(batch)
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             if not warmed:  # compile outside the timed region
                 jax.block_until_ready(
@@ -518,6 +562,17 @@ def main():
                          "(train.py pickle, written by save_checkpoint) "
                          "instead of the imported reference weights — the "
                          "'trained here' PARITY column")
+    ap.add_argument("--realistic", type=int, default=1,
+                    help="1 (default): distribution-honest records (SIFT-"
+                         "like correlated side channels, keypoint-pool "
+                         "mismatch outliers, varied intrinsics, scene "
+                         "mixture); 0: the round-≤4 uncorrelated-noise "
+                         "generator (reproduces the historical tables)")
+    ap.add_argument("--permute_side", type=int, default=0,
+                    help="ablation: shuffle the side channels (ratio/scale/"
+                         "angle) across correspondences on OUR side before "
+                         "the network — measures how much the net relies "
+                         "on them")
     ap.add_argument("--prob", type=int, default=0,
                     help="prob_type fed to the sampler (0 normalized "
                          "weights — the reference predict path; 2 logits — "
@@ -546,10 +601,10 @@ def main():
         folder = tempfile.mkdtemp(prefix="parity_")
         gen = generate_rigid_records if args.rigid else generate_records
         gen(folder, args.scenes, args.nf, args.noise,
-            args.outliers, args.seed)
+            args.outliers, args.seed, realistic=bool(args.realistic))
     print(f"records: {folder} ({args.scenes} scenes, nf={args.nf}, "
           f"noise={args.noise}{'' if args.rigid else 'px'}, "
-          f"outliers={args.outliers})")
+          f"outliers={args.outliers}, realistic={bool(args.realistic)})")
 
     if args.rigid:
         ours, our_errs, our_models = run_ours_rigid(folder, args)
@@ -561,9 +616,11 @@ def main():
                 print(f"reference ({vn}):", {k: round(v, 4) for k, v in r.items()})
         if args.out:
             with open(args.out, "a") as f:
+                tag = " , self-trained ckpt" if args.our_ckpt else ""
                 f.write(f"\n### rigid 3D, {args.scenes} scenes, nf={args.nf},"
                         f" noise={args.noise}, outliers={args.outliers}, "
-                        f"H={args.rigid_iterations}, seed={args.seed}\n\n")
+                        f"H={args.rigid_iterations}, seed={args.seed}, "
+                        f"realistic={bool(args.realistic)}{tag}\n\n")
                 keys = sorted(ours)
                 f.write("| metric | ref (as shipped) | ref (repaired) "
                         "| this framework |\n|---|---|---|---|\n")
@@ -606,9 +663,12 @@ def main():
         mode = "F" if args.fmat else "E"
         with open(args.out, "a") as f:
             scor = "" if args.scoring == "msac" else f", ours={args.scoring}"
+            tag = ", self-trained ckpt" if args.our_ckpt else ""
+            tag += ", PERMUTED side channels" if args.permute_side else ""
             f.write(f"\n### {mode}-mode, {args.scenes} scenes, nf={args.nf}, "
                     f"noise={args.noise}px, outliers={args.outliers}, "
-                    f"t={args.threshold}, seed={args.seed}{scor}\n\n")
+                    f"t={args.threshold}, seed={args.seed}, "
+                    f"realistic={bool(args.realistic)}{scor}{tag}\n\n")
             keys = sorted(set(ours) | set(ref or {}))
             f.write("| metric | reference (torch CPU) | this framework |\n")
             f.write("|---|---|---|\n")
