@@ -9,8 +9,19 @@ Measures, as jitted XLA programs on the available accelerator:
   the headline must apply to the eval path — since r2 they share the same
   mixed-precision machinery);
 * ``f64_core`` — the all-f64 solver pipeline (accuracy-class comparison);
-* stage breakdown (``solve32``, ``score``) and an MFU estimate from XLA's
-  own FLOP count vs the chip's bf16 peak.
+* a ROOFLINE bound from XLA's own cost analysis (FLOPs + bytes accessed per
+  call — computed offline at compile time, immune to the tunnel-timing
+  artifacts ``docs/PROFILE.md`` §3 documents): achieved fraction of the
+  chip's HBM-bandwidth bound and of its bf16-compute bound, and which one
+  binds. Per-stage wall timings (the former ``stages_ms``) are deliberately
+  NOT published: PROFILE §3 measured the same sub-10 ms stage program at
+  0.31 ms or 58.9 ms depending on process call history through the tunnel —
+  known noise does not belong in the artifact (VERDICT r4 weak #2).
+
+The eval path is captured at its chip-filling batch size: a 3-point
+pairs/call sweep (8/32/64) runs first and the knee is kept
+(``docs/PROFILE.md`` §3: ~4 ms/call dispatch overhead amortizes by 32;
+VERDICT r4 weak #1).
 
 Baseline: the PyTorch reference executing its own pipeline on CPU (the
 reference has no GPU here; its published setup is CPU/GPU,
@@ -32,13 +43,17 @@ N_POINTS = 2000
 PAIRS = 8
 HYPOTHESES = 2048  # per pair
 
-# TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 per chip. The engine runs a
-# f32/f64 mix, so this MFU is a conservative roofline indicator, not a
-# bf16-matmul utilization claim.
+# TPU v5e (v5 lite) single-chip peaks: 197 TFLOP/s bf16, 819 GB/s HBM
+# bandwidth. The engine is VPU/HBM-bound (elementwise scoring over all
+# points dominates, not matmuls), so the relevant roofline is the
+# bandwidth bound; the bf16-compute fraction is reported only to show how
+# far the workload is from being MXU-shaped.
 PEAK_FLOPS = {"tpu": 197e12, "cpu": 1e12}
+HBM_BW = {"tpu": 819e9, "cpu": 50e9}
 
 
-def _problem_arrays(noise: float = 0.5, outlier_ratio: float = 0.3):
+def _problem_arrays(noise: float = 0.5, outlier_ratio: float = 0.3,
+                    pairs: int = PAIRS):
     import jax
     import jax.numpy as jnp
 
@@ -46,32 +61,42 @@ def _problem_arrays(noise: float = 0.5, outlier_ratio: float = 0.3):
 
     probs = [two_view_problem(n_points=N_POINTS, noise=noise,
                               outlier_ratio=outlier_ratio, seed=i)
-             for i in range(PAIRS)]
+             for i in range(pairs)]
     pts = jnp.asarray(np.stack([p["matches"] for p in probs]))
-    logits = jnp.zeros((PAIRS, N_POINTS), jnp.float32)
+    logits = jnp.zeros((pairs, N_POINTS), jnp.float32)
     return pts, logits
 
 
 def _time_jitted(run, args_fn, iters=5):
-    """Compile, warm up, time; returns (sec/call, flops/call or None)."""
+    """Compile, warm up, time; returns (sec/call, cost dict).
+
+    The cost dict carries XLA's own static cost analysis for the compiled
+    program — ``flops`` and ``bytes`` per call. These are compile-time
+    numbers (no execution involved), so they are immune to the
+    tunnel-timing unreliability documented in ``docs/PROFILE.md`` §3 and
+    are what the roofline bound is built from."""
     import jax
 
     out = run(*args_fn(0))
     jax.block_until_ready(out)
-    flops = None
+    cost = {}
     try:
         compiled = run.lower(*args_fn(0)).compile()
         ca = compiled.cost_analysis()
         if ca:
             ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-            flops = float(ca.get("flops", 0.0)) or None
+            if float(ca.get("flops", 0.0)):
+                cost["flops"] = float(ca["flops"])
+            ba = float(ca.get("bytes accessed", 0.0))
+            if ba:
+                cost["bytes"] = ba
     except Exception:
         pass
     t0 = time.perf_counter()
     for i in range(iters):
         out = run(*args_fn(i + 1))
     jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters, flops
+    return (time.perf_counter() - t0) / iters, cost
 
 
 def measure_tpu(solver_precision: int = 2, rescued: bool = False):
@@ -102,19 +127,22 @@ def measure_tpu(solver_precision: int = 2, rescued: bool = False):
 
     # distinct keys per timed call (the axon dev tunnel caches same-argument
     # executions, which would fake the timing)
-    dt, flops = _time_jitted(
+    dt, cost = _time_jitted(
         run, lambda i: (pts, logits, jax.random.PRNGKey(i)))
     hyps = PAIRS * HYPOTHESES
-    return hyps / dt, dt, (flops / dt if flops else None)
+    return hyps / dt, dt, cost
 
 
-def measure_eval_path(noise: float = 0.5, outlier_ratio: float = 0.3):
+def measure_eval_path(noise: float = 0.5, outlier_ratio: float = 0.3,
+                      pairs: int = PAIRS):
     """The adaptive search the eval scripts run (``ransac_test_fast``).
 
     The default arguments are the EASY case (the adaptive bound closes at
     ~512 iters/pair — per-pair tail dominated); ``outlier_ratio >= 0.6``
     is the low-inlier regime adaptive search exists for (bound stays open
-    for thousands of iterations; VERDICT r3 task 2's ``hard_pair``)."""
+    for thousands of iterations; VERDICT r3 task 2's ``hard_pair``).
+    ``pairs`` is the batch per call — production sizing fills the chip
+    (PROFILE §3); ``main`` sweeps it and keeps the knee."""
     import jax
     import jax.numpy as jnp
 
@@ -123,65 +151,55 @@ def measure_eval_path(noise: float = 0.5, outlier_ratio: float = 0.3):
 
     cfg = RansacConfig(model=ModelKind.ESSENTIAL, sampler=SamplerKind.GUMBEL,
                        threshold=2.0, max_iterations=5000)
-    pts, logits = _problem_arrays(noise=noise, outlier_ratio=outlier_ratio)
+    pts, logits = _problem_arrays(noise=noise, outlier_ratio=outlier_ratio,
+                                  pairs=pairs)
     thr = jnp.asarray(2.0 / 1000.0, jnp.float32)
 
     @jax.jit
     def run(pts, logits, key):
-        keys = jax.random.split(key, PAIRS)
+        keys = jax.random.split(key, pts.shape[0])
         m, _, s, it = jax.vmap(
             lambda p, l, k: ransac_test_fast(cfg, p, l, k, threshold=thr)
         )(pts, logits, keys)
         return m, s, it
 
-    dt, flops = _time_jitted(
+    dt, cost = _time_jitted(
         run, lambda i: (pts, logits, jax.random.PRNGKey(i)))
     m, s, it = run(pts, logits, jax.random.PRNGKey(99))
     iters_done = int(np.sum(np.asarray(it)))
     return {
-        "pairs_per_s": PAIRS / dt,
+        "pairs_per_call": pairs,
+        "pairs_per_s": pairs / dt,
         "hyp_per_s": iters_done / dt,
-        "ms_per_pair": dt / PAIRS * 1e3,
-        "adaptive_iters_per_pair": iters_done / PAIRS,
-        "flops_per_s": (flops / dt) if flops else None,
+        "ms_per_pair": dt / pairs * 1e3,
+        "adaptive_iters_per_pair": iters_done / pairs,
+        "_dt": dt,
+        "_cost": cost,
     }
 
 
-def measure_stages():
-    """Per-stage split of the fixed-budget search: f32 solve vs scoring."""
-    import jax
-    import jax.numpy as jnp
+def roofline(dt: float, cost: dict, backend: str):
+    """Achieved fraction of the two single-chip rooflines, from XLA's
+    compile-time cost analysis (VERDICT r4 weak #3 / task 4: an actionable
+    bound instead of the meaningless bf16-peak MFU).
 
-    from differentiable_ransac_tpu.config import ModelKind, RansacConfig, SamplerKind
-    from differentiable_ransac_tpu.engine import _draw_and_solve, _score
-
-    cfg = RansacConfig(model=ModelKind.ESSENTIAL, sampler=SamplerKind.GUMBEL,
-                       threshold=2.0, solver_precision=1)
-    pts, logits = _problem_arrays()
-    thr = jnp.asarray(2.0 / 1000.0, jnp.float32)
-
-    @jax.jit
-    def solve(pts, logits, key):
-        keys = jax.random.split(key, PAIRS)
-        models, valid, _ = jax.vmap(
-            lambda p, l, k: _draw_and_solve(cfg, p, l, k, HYPOTHESES)
-        )(pts, logits, keys)
-        return models, valid
-
-    dt_solve, _ = _time_jitted(
-        solve, lambda i: (pts, logits, jax.random.PRNGKey(i)))
-
-    models, valid = solve(pts, logits, jax.random.PRNGKey(0))
-    flat = models.reshape(PAIRS, -1, 3, 3)
-
-    @jax.jit
-    def score(pts, flat):
-        s, m = jax.vmap(lambda p, f: _score(cfg, p, f, thr))(pts, flat)
-        return jnp.argmax(s, axis=-1)
-
-    dt_score, _ = _time_jitted(score, lambda i: (pts, flat))
-    return {"solve32_ms": dt_solve * 1e3, "score_ms": dt_score * 1e3}
-
+    ``bw_frac`` = (bytes accessed / call) / dt / HBM bandwidth — how close
+    the program runs to the memory bound. ``compute_frac`` = flops-rate /
+    bf16 peak. ``bound`` names the nearer ceiling."""
+    if not cost or dt <= 0:
+        return None
+    out = {}
+    if "bytes" in cost:
+        out["bytes_per_call"] = cost["bytes"]
+        out["achieved_GBps"] = cost["bytes"] / dt / 1e9
+        out["bw_frac"] = cost["bytes"] / dt / HBM_BW.get(backend, 819e9)
+    if "flops" in cost:
+        out["flops_per_call"] = cost["flops"]
+        out["compute_frac"] = cost["flops"] / dt / PEAK_FLOPS.get(backend, 197e12)
+    if "bw_frac" in out or "compute_frac" in out:
+        out["bound"] = ("memory" if out.get("bw_frac", 0)
+                        >= out.get("compute_frac", 0) else "compute")
+    return out or None
 
 
 
@@ -287,39 +305,57 @@ def main():
     import jax
 
     backend = jax.default_backend()
-    peak = PEAK_FLOPS.get(backend, 197e12)
 
     variants = {}
-    mfu = None
+    rooflines = {}
     for name, kw in (
         ("mixed_rescued", dict(rescued=True)),
         ("f64_core", dict(solver_precision=2)),
     ):
         try:
-            hyp_s, dt, flops_s = measure_tpu(**kw)
+            hyp_s, dt, cost = measure_tpu(**kw)
             variants[name] = hyp_s
             line = f"# {name}: {hyp_s:.0f} hyp/s ({dt*1e3:.1f} ms/call)"
-            if flops_s:
-                line += f" mfu={flops_s/peak:.4f}"
-                if name == "mixed_rescued":
-                    mfu = flops_s / peak
+            rl = roofline(dt, cost, backend)
+            if rl and name == "mixed_rescued":
+                rooflines["mixed_rescued"] = rl
+                line += (f" bw_frac={rl.get('bw_frac', 0):.3f}"
+                         f" compute_frac={rl.get('compute_frac', 0):.4f}")
             print(line, file=sys.stderr)
         except Exception as e:  # pragma: no cover
             print(f"# {name} failed: {e}", file=sys.stderr)
 
+    # Eval path at the chip-filling batch size: sweep pairs/call, keep the
+    # knee (highest pairs/s) — PROFILE §3 / VERDICT r4 weak #1.
     eval_path = {}
     try:
-        eval_path = measure_eval_path()
-        print(f"# eval_path: {eval_path['pairs_per_s']:.1f} pairs/s "
-              f"({eval_path['ms_per_pair']:.1f} ms/pair, "
-              f"{eval_path['adaptive_iters_per_pair']:.0f} adaptive iters, "
-              f"{eval_path['hyp_per_s']:.0f} hyp/s)", file=sys.stderr)
+        for pairs in (8, 32, 64):
+            cand = measure_eval_path(pairs=pairs)
+            print(f"# eval_path[{pairs} pairs/call]: "
+                  f"{cand['pairs_per_s']:.1f} pairs/s "
+                  f"({cand['ms_per_pair']:.1f} ms/pair, "
+                  f"{cand['adaptive_iters_per_pair']:.0f} adaptive iters)",
+                  file=sys.stderr)
+            if cand["pairs_per_s"] > eval_path.get("pairs_per_s", 0.0):
+                eval_path = cand
+        rl = roofline(eval_path.pop("_dt", 0.0), eval_path.pop("_cost", {}),
+                      backend)
+        if rl:
+            rooflines["eval_path"] = rl
+            print(f"# eval_path roofline: bw_frac={rl.get('bw_frac', 0):.3f} "
+                  f"({rl.get('achieved_GBps', 0):.0f} GB/s) "
+                  f"compute_frac={rl.get('compute_frac', 0):.4f} "
+                  f"-> {rl.get('bound')}-bound", file=sys.stderr)
     except Exception as e:  # pragma: no cover
         print(f"# eval_path failed: {e}", file=sys.stderr)
 
     eval_hard = {}
     try:
-        eval_hard = measure_eval_path(noise=1.0, outlier_ratio=0.65)
+        eval_hard = measure_eval_path(noise=1.0, outlier_ratio=0.65,
+                                      pairs=int(eval_path.get("pairs_per_call")
+                                                or PAIRS))
+        eval_hard.pop("_dt", None)
+        eval_hard.pop("_cost", None)
         print(f"# eval_path[hard 65% outliers]: "
               f"{eval_hard['pairs_per_s']:.1f} pairs/s "
               f"({eval_hard['ms_per_pair']:.1f} ms/pair, "
@@ -328,29 +364,29 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"# eval_path hard failed: {e}", file=sys.stderr)
 
-    stages = {}
-    try:
-        stages = measure_stages()
-        print(f"# stages: solve32 {stages['solve32_ms']:.1f} ms, "
-              f"score {stages['score_ms']:.1f} ms", file=sys.stderr)
-    except Exception as e:  # pragma: no cover
-        print(f"# stages failed: {e}", file=sys.stderr)
-
-
     ours = max(variants.values()) if variants else float("nan")
     try:
         baseline = measure_reference_baseline()
     except Exception:
         baseline = float("nan")
+
+    def _round(d, nd=4):
+        return {k: (round(v, nd) if isinstance(v, float) else v)
+                for k, v in d.items()}
+
     print(json.dumps({
         "metric": "5pc_hypotheses_per_sec_per_chip",
         "value": round(ours, 1),
         "unit": "hyp/s",
         "vs_baseline": round(ours / baseline, 2) if baseline == baseline else None,
-        "mfu_bf16peak": round(mfu, 5) if mfu else None,
-        "eval_path": {k: (round(v, 2) if v else v) for k, v in eval_path.items()},
-        "eval_path_hard": {k: (round(v, 2) if v else v) for k, v in eval_hard.items()},
-        "stages_ms": {k: round(v, 2) for k, v in stages.items()},
+        "eval_path": {k: (round(v, 2) if isinstance(v, float) else v)
+                      for k, v in eval_path.items()},
+        "eval_path_hard": {k: (round(v, 2) if isinstance(v, float) else v)
+                           for k, v in eval_hard.items()},
+        # compile-time XLA cost analysis vs chip ceilings — replaces both
+        # the bf16-peak MFU (meaningless for this VPU-bound workload) and
+        # the tunnel-unreliable stages_ms (PROFILE §3; VERDICT r4 weak #2/3)
+        "roofline": {k: _round(v) for k, v in rooflines.items()},
         "backend": backend,
     }))
 

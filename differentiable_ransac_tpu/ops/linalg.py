@@ -46,7 +46,11 @@ def _safe_eigh_bwd(res, cots):
     w, v = res
     dw, dv = cots
     scale = jnp.max(jnp.abs(w), axis=-1, keepdims=True) + 1e-30
-    eps = (1e-6 * scale[..., None]) ** 2
+    # floor at the smallest normal: for an all-zero spectrum (e.g. Horn's N
+    # on a fully repeated sample) (1e-6·scale)² underflows to 0 and
+    # F = 0/0 = NaN (tests/test_degenerate.py::test_rigid_repeated_points)
+    eps = jnp.maximum((1e-6 * scale[..., None]) ** 2,
+                      jnp.asarray(jnp.finfo(w.dtype).tiny, w.dtype))
     gap = w[..., None, :] - w[..., :, None]  # λⱼ − λᵢ at (i, j)
     F = gap / (gap * gap + eps)
     vt_dv = jnp.einsum("...ki,...kj->...ij", v, dv)
@@ -224,27 +228,44 @@ def null_space_rows_complement(A: jnp.ndarray, k: int) -> jnp.ndarray:
         block).
     """
     m, n = A.shape
-    tiny = float(jnp.finfo(A.dtype).tiny) * 1e6
     # two-pass MGS on rows ("twice is enough" re-orthogonalization)
     rows = []
+    # NaN-safe normalization: sqrt/rsqrt must never SEE a (near-)zero sum —
+    # guarding only the division still leaks ∞ into the backward through
+    # d√s/ds at s=0 (rank-deficient samples: repeated correspondences zero
+    # the row after orthogonalization; tests/test_degenerate.py). The rank
+    # cutoff is RELATIVE to the sample scale (machine-eps · ‖A‖²): an
+    # orthogonalization residual below √eps·‖A‖ is numerical noise, and
+    # treating it as a direction puts 1/‖v‖ ≈ 1/noise into the backward —
+    # finite, but large enough to overflow the solver's f32 out-dtype cast
+    # downstream. Real minimal samples have residuals ≫ √eps·‖A‖; ones
+    # that don't are degenerate and simply rank lower in the forward.
+    scale_sq = jnp.max(jnp.sum(A * A, axis=-1))
+    cut = jnp.maximum(
+        scale_sq * jnp.asarray(float(jnp.finfo(A.dtype).eps), A.dtype),
+        jnp.asarray(float(jnp.finfo(A.dtype).tiny), A.dtype),
+    )
+
+    def _unit(v):
+        s = jnp.sum(v * v)
+        ok = s > cut
+        # sqrt+divide (not rsqrt): bit-identical to the historical v/‖v‖,
+        # and sqrt only ever sees the guarded value
+        return jnp.where(ok, v / jnp.sqrt(jnp.where(ok, s, 1.0)), 0.0)
+
     for i in range(m):
         v = A[i]
         for _pass in range(2):
             for u in rows:
                 v = v - jnp.dot(u, v) * u
-        nv = jnp.sqrt(jnp.sum(v * v))
-        nv_ok = nv > tiny
-        rows.append(jnp.where(nv_ok, v / jnp.where(nv_ok, nv, 1.0), 0.0))
+        rows.append(_unit(v))
     Q = jnp.stack(rows)  # (m, n) orthonormal (zero rows if rank-deficient)
     P = jnp.eye(n, dtype=A.dtype) - Q.T @ Q
     cols = []
     for _ in range(k):
         norms = jnp.sum(P * P, axis=0)
         j = jnp.argmax(norms)
-        c = P[:, j]
-        nc = jnp.sqrt(jnp.sum(c * c))
-        nc_ok = nc > tiny
-        c = jnp.where(nc_ok, c / jnp.where(nc_ok, nc, 1.0), 0.0)
+        c = _unit(P[:, j])
         cols.append(c)
         P = P - c[:, None] * (c[None, :] @ P)
     return jnp.stack(cols, axis=-1)

@@ -61,12 +61,21 @@ def polymul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(out, axis=-1)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def cubic_roots(c: jnp.ndarray, eps: float = 1e-12):
     """Real roots of batched cubics ``c0 + c1 x + c2 x² + c3 x³ = 0``.
 
     Branch-free closed form (the TPU replacement for the reference's
     4×4-companion ``eigvals`` at ``fundamental_matrix_estimator.py:291-298``
     and the ``multi_cubic`` regimes at ``math_utils.py:5-108``).
+
+    Backward is the shared implicit-differentiation rule
+    (:func:`_implicit_root_cotangent`), NOT autodiff of the closed form:
+    the trigonometric/Cardano expressions hit 0·∞ = NaN ``where``-traps on
+    the degenerate variety (discriminant 0 — a DOUBLE root — puts ∞ into
+    the unselected branch's derivative), while the implicit rule is exact
+    at simple roots and Lorentzian-bounded at multiple ones
+    (``tests/test_degenerate.py::test_cubic_double_root``).
 
     Args:
         c: (..., 4) ascending coefficients.
@@ -76,6 +85,10 @@ def cubic_roots(c: jnp.ndarray, eps: float = 1e-12):
         root duplicated (degenerate/complex cases), so downstream code can
         compute on all slots and mask later.
     """
+    return _cubic_roots_impl(c, eps)
+
+
+def _cubic_roots_impl(c: jnp.ndarray, eps: float = 1e-12):
     c0, c1, c2, c3 = c[..., 0], c[..., 1], c[..., 2], c[..., 3]
     # Guard against a (near-)quadratic leading coefficient: fall back to the
     # quadratic/linear roots in those lanes.
@@ -145,6 +158,20 @@ def cubic_roots(c: jnp.ndarray, eps: float = 1e-12):
     f = polyval(c_asc, roots)
     roots = roots - jnp.where(jnp.abs(fp) > eps, f / jnp.where(jnp.abs(fp) > eps, fp, 1.0), 0.0)
     return roots, valid
+
+
+def _cubic_roots_fwd(c, eps):
+    roots, valid = _cubic_roots_impl(c, eps)
+    return (roots, valid), (c, roots, valid)
+
+
+def _cubic_roots_bwd(eps, res, cots):
+    c, roots, valid = res
+    droots, _dvalid = cots
+    return (_implicit_root_cotangent(c, roots, valid, droots),)
+
+
+cubic_roots.defvjp(_cubic_roots_fwd, _cubic_roots_bwd)
 
 
 def _monic_fujiwara_scaled(coeffs: jnp.ndarray):
@@ -311,7 +338,13 @@ def _implicit_root_cotangent(coeffs, roots, valid, droots):
     scale = jnp.max(jnp.abs(coeffs), axis=-1, keepdims=True) + 1e-30
     eps = (1e-9 * (scale + jnp.abs(dp))) ** 2
     inv_dp = dp / (dp * dp + eps)
-    cap = 1e8 / scale
+    # The cap scales inversely with the polynomial magnitude, but a
+    # numerically-degenerate sample (coeffs ≲ 1e-20: e.g. repeated
+    # correspondences, whose cubic is 0 up to rounding) must not inflate it
+    # past the f32 range — a 1e61 cotangent is finite in f64 but becomes
+    # inf→NaN at the solver's out-dtype cast
+    # (tests/test_degenerate.py::test_7pc_repeated_points).
+    cap = 1e8 / jnp.maximum(scale, 1e-20)
     inv_dp = jnp.clip(inv_dp, -cap, cap)
     sens = jnp.where(valid, -droots * inv_dp, 0.0)  # (..., D)
     # dc_k = Σ_slots sens_i · z_i^k, built with cumulative powers.

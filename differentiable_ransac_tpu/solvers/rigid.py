@@ -27,8 +27,12 @@ def _kabsch(points: jnp.ndarray, weights: jnp.ndarray | None = None, eps: float 
     centroid = jnp.sum(points * w[..., None], axis=-2) / wsum
     centered = points - centroid[None, :]
 
-    d0 = jnp.linalg.norm(centered[:, 0:3], axis=-1)
-    d1 = jnp.linalg.norm(centered[:, 3:6], axis=-1)
+    # safe norm: d‖x‖/dx = x/‖x‖ is NaN at exactly-coincident points
+    # (repeated-point degenerate samples, tests/test_degenerate.py); the
+    # tiny floor only perturbs lanes whose norm is 0 anyway.
+    _snorm = lambda x: jnp.sqrt(jnp.sum(x * x, axis=-1) + 1e-30)
+    d0 = _snorm(centered[:, 0:3])
+    d1 = _snorm(centered[:, 3:6])
     avg0 = jnp.sum(d0 * w) / wsum[..., 0] + eps
     avg1 = jnp.sum(d1 * w) / wsum[..., 0] + eps
     sqrt3 = jnp.sqrt(jnp.asarray(3.0, points.dtype))

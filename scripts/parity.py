@@ -310,7 +310,10 @@ def run_ours_rigid(folder: str, args):
                               corr, train=False)
             return select_prob_type(out, prob)
 
-    if args.sigma_max < 0:  # auto σ from the first scan's residual scale
+    rigid_per_pair = (args.sigma_max < 0
+                      and getattr(args, "sigma_mode", "scene") == "pair")
+    if args.sigma_max < 0 and not rigid_per_pair:
+        # auto σ from the first scan's residual scale (per-SCENE median)
         b0 = next(iter(ThreeDRecords([folder + "/"], num=args.nf)
                        .batches(args.batch_size, drop_last=False)))
         corr0 = jnp.asarray(b0["correspondences"])[..., :6]
@@ -321,6 +324,8 @@ def run_ours_rigid(folder: str, args):
         auto = float(np.median(np.asarray(mults)))
         print(f"auto sigma_max (rigid): {auto:.2f} x threshold")
         rcfg = rcfg.replace(sigma_max=auto)
+    elif rigid_per_pair:
+        print("sigma_max (rigid): per-pair pilot σ̂ (traced sigma_mult)")
 
     @jax.jit
     def infer(corr, key):
@@ -329,6 +334,17 @@ def run_ours_rigid(folder: str, args):
             weights = net_apply(corr)
         else:
             weights = jnp.zeros(corr.shape[:2], corr.dtype)
+        if rigid_per_pair:
+            # per-pair σ̂ (VERDICT r4 task 8): each scan's own pilot
+            # estimate feeds the traced sigma_mult
+            sm = jax.vmap(
+                lambda p, w, k: pilot_sigma_max(rcfg, p[:, :6], w, k)
+            )(corr, weights,
+              jax.random.split(jax.random.PRNGKey(7), corr.shape[0]))
+            return jax.vmap(
+                lambda p, w, k, s: ransac_test(rcfg, p[:, :6], w, k,
+                                               sigma_mult=s)
+            )(corr, weights, keys, sm)
         return jax.vmap(
             lambda p, w, k: ransac_test(rcfg, p[:, :6], w, k)
         )(corr, weights, keys)
@@ -417,33 +433,43 @@ def run_ours(folder: str, args):
 
     ds = TwoViewRecords([folder + "/"], 0.8, args.nf, rcfg.fmat)
 
+    per_pair_sigma = None
     if args.sigma_max < 0:  # auto: estimate the noise scale from the data
         from differentiable_ransac_tpu.engine import (
             normalized_threshold, pilot_sigma_max,
         )
         from differentiable_ransac_tpu.evaluate import _prepare_pair_points
 
-        # fresh dataset instance: consuming a pilot batch must not advance
-        # the eval dataset's stateful padding rng (changes the eval data)
-        ds_pilot = TwoViewRecords([folder + "/"], 0.8, args.nf, rcfg.fmat)
-        batch = next(iter(ds_pilot.batches(args.batch_size)))
-        pts = _prepare_pair_points(
-            {k: jnp.asarray(v) for k, v in batch.items()}, rcfg.fmat)
-        if rcfg.fmat:
-            thr = jnp.full((pts.shape[0],), rcfg.threshold, pts.dtype)
+        def pilot_mults(batch):
+            pts = _prepare_pair_points(
+                {k: jnp.asarray(v) for k, v in batch.items()}, rcfg.fmat)
+            if rcfg.fmat:
+                thr = jnp.full((pts.shape[0],), rcfg.threshold, pts.dtype)
+            else:
+                thr = jax.vmap(
+                    lambda K1, K2: normalized_threshold(rcfg, K1, K2)
+                )(jnp.asarray(batch["K1"]), jnp.asarray(batch["K2"])
+                  ).astype(pts.dtype)
+            return jax.jit(jax.vmap(
+                lambda p, t, k: pilot_sigma_max(
+                    rcfg, p, jnp.zeros(p.shape[0], p.dtype), k, threshold=t)
+            ))(pts, thr, jax.random.split(jax.random.PRNGKey(7), pts.shape[0]))
+
+        if args.sigma_mode == "pair":
+            # per-pair traced σ̂ (VERDICT r4 task 8): each pair's own pilot
+            # estimate rides the already-traced sigma_mult input
+            per_pair_sigma = pilot_mults
+            print("sigma_max: per-pair pilot σ̂ (traced sigma_mult)")
         else:
-            thr = jax.vmap(lambda K1, K2: normalized_threshold(rcfg, K1, K2))(
-                jnp.asarray(batch["K1"]), jnp.asarray(batch["K2"])
-            ).astype(pts.dtype)
-        mults = jax.jit(jax.vmap(
-            lambda p, t, k: pilot_sigma_max(
-                rcfg, p, jnp.zeros(p.shape[0], p.dtype), k, threshold=t)
-        ))(pts, thr, jax.random.split(jax.random.PRNGKey(7), pts.shape[0]))
-        auto = float(np.median(np.asarray(mults)))
-        print(f"auto sigma_max: {auto:.2f} x threshold "
-              f"(per-pair range {float(np.min(mults)):.2f}-"
-              f"{float(np.max(mults)):.2f})")
-        rcfg = rcfg.replace(sigma_max=auto)
+            # fresh dataset instance: consuming a pilot batch must not
+            # advance the eval dataset's stateful padding rng
+            ds_pilot = TwoViewRecords([folder + "/"], 0.8, args.nf, rcfg.fmat)
+            mults = pilot_mults(next(iter(ds_pilot.batches(args.batch_size))))
+            auto = float(np.median(np.asarray(mults)))
+            print(f"auto sigma_max: {auto:.2f} x threshold "
+                  f"(per-pair range {float(np.min(mults)):.2f}-"
+                  f"{float(np.max(mults)):.2f})")
+            rcfg = rcfg.replace(sigma_max=auto)
 
     eval_fn = make_eval_step(model, rcfg, prob_type=getattr(args, "prob", 0),
                              fast=not args.exact,
@@ -467,21 +493,27 @@ def run_ours(folder: str, args):
 
     per_key_aggs = []
     warmed = False
+    sigma_cache = {}
     for ki in range(max(1, args.keys)):
         results = []
         est_models = []
         search_time = 0.0
         n_pairs = 0
-        for batch in ds.batches(args.batch_size):
+        for bi, batch in enumerate(ds.batches(args.batch_size)):
             batch = permute_side(batch)
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            sm = None
+            if per_pair_sigma is not None:
+                sigma_cache.setdefault(bi, per_pair_sigma(batch))
+                sm = sigma_cache[bi]
             if not warmed:  # compile outside the timed region
                 jax.block_until_ready(
-                    eval_fn(params, bstats, jb, jax.random.PRNGKey(0))[0])
+                    eval_fn(params, bstats, jb, jax.random.PRNGKey(0),
+                            sigma_mult=sm)[0])
                 warmed = True
             t0 = time.perf_counter()
             models, masks, scores, iters, w = eval_fn(
-                params, bstats, jb, jax.random.PRNGKey(ki))
+                params, bstats, jb, jax.random.PRNGKey(ki), sigma_mult=sm)
             jax.block_until_ready(models)
             search_time += time.perf_counter() - t0
             n_pairs += models.shape[0]
@@ -542,6 +574,12 @@ def main():
                          "hand-off); raise so 3.64*sigma_max covers the "
                          "true noise scale when the threshold is "
                          "misspecified low")
+    ap.add_argument("--sigma_mode", choices=["scene", "pair"],
+                    default="scene",
+                    help="with --sigma_max -1: 'scene' estimates ONE σ̂ "
+                         "(median of a pilot batch, the r4 behavior); "
+                         "'pair' feeds each pair its OWN pilot σ̂ through "
+                         "the traced sigma_mult (VERDICT r4 task 8)")
     ap.add_argument("--prescreen", type=int, default=0,
                     help="fast-engine ranking-subset size (0 -> engine "
                          "default 256); raise toward nf for less ranking "
@@ -616,7 +654,9 @@ def main():
                 print(f"reference ({vn}):", {k: round(v, 4) for k, v in r.items()})
         if args.out:
             with open(args.out, "a") as f:
-                tag = " , self-trained ckpt" if args.our_ckpt else ""
+                tag = ", self-trained ckpt" if args.our_ckpt else ""
+                if args.sigma_mode == "pair" and args.sigma_max < 0:
+                    tag += ", per-pair sigma"
                 f.write(f"\n### rigid 3D, {args.scenes} scenes, nf={args.nf},"
                         f" noise={args.noise}, outliers={args.outliers}, "
                         f"H={args.rigid_iterations}, seed={args.seed}, "
@@ -663,6 +703,8 @@ def main():
         mode = "F" if args.fmat else "E"
         with open(args.out, "a") as f:
             scor = "" if args.scoring == "msac" else f", ours={args.scoring}"
+            if args.sigma_mode == "pair" and args.sigma_max < 0:
+                scor += ", per-pair sigma"
             tag = ", self-trained ckpt" if args.our_ckpt else ""
             tag += ", PERMUTED side channels" if args.permute_side else ""
             f.write(f"\n### {mode}-mode, {args.scenes} scenes, nf={args.nf}, "
