@@ -188,52 +188,59 @@ def realistic_two_view_problem(
     K1, im_size1, f1 = camera()
     K2, im_size2, f2 = camera()
 
-    # ---- relative pose by scene type ------------------------------------
-    axis = rng.normal(size=3)
-    axis /= np.linalg.norm(axis)
-    if scene_type == "forward":
-        angle = rng.uniform(np.radians(2), np.radians(10))
-    else:
-        angle = rng.uniform(np.radians(5), np.radians(45))
-    K_axis = np.array([
-        [0, -axis[2], axis[1]],
-        [axis[2], 0, -axis[0]],
-        [-axis[1], axis[0], 0],
-    ])
-    R = np.eye(3) + np.sin(angle) * K_axis + (1 - np.cos(angle)) * (K_axis @ K_axis)
-    if scene_type == "forward":
-        t = np.array([0.0, 0.0, -1.0]) + 0.15 * rng.normal(size=3)
-    else:
-        t = rng.normal(size=3)
-    t = t / np.linalg.norm(t)
-    # baseline length relative to scene depth (narrow .. wide)
-    baseline = rng.uniform(0.3, 1.6)
-
-    # ---- 3D points: resample until visible in both cameras --------------
+    # ---- relative pose by scene type (retried if the frustums barely
+    # overlap — a wide rotation plus an unlucky baseline can leave no
+    # co-visible volume; the angle range narrows with each retry) --------
     tan_x1 = (im_size1[1] / 2) / f1
     tan_y1 = (im_size1[0] / 2) / f1
     z_near, z_far = 4.0, 12.0
-    X = np.zeros((n_points, 3))
-    need = np.ones(n_points, bool)
-    for _ in range(64):
-        n_need = int(need.sum())
-        if n_need == 0:
+    for attempt in range(16):
+        shrink = 0.75 ** attempt
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        if scene_type == "forward":
+            angle = rng.uniform(np.radians(2), np.radians(10)) * shrink
+        else:
+            angle = rng.uniform(np.radians(5), np.radians(45)) * shrink
+        K_axis = np.array([
+            [0, -axis[2], axis[1]],
+            [axis[2], 0, -axis[0]],
+            [-axis[1], axis[0], 0],
+        ])
+        R = (np.eye(3) + np.sin(angle) * K_axis
+             + (1 - np.cos(angle)) * (K_axis @ K_axis))
+        if scene_type == "forward":
+            t = np.array([0.0, 0.0, -1.0]) + 0.15 * rng.normal(size=3)
+        else:
+            t = rng.normal(size=3)
+        t = t / np.linalg.norm(t)
+        # baseline length relative to scene depth (narrow .. wide)
+        baseline = rng.uniform(0.3, 1.6) * shrink
+
+        # ---- 3D points: resample until visible in both cameras ----------
+        X = np.zeros((n_points, 3))
+        need = np.ones(n_points, bool)
+        for _ in range(64):
+            n_need = int(need.sum())
+            if n_need == 0:
+                break
+            cand = _frustum_points(rng, n_need, tan_x1, tan_y1, z_near, z_far,
+                                   planar=(scene_type == "planar"))
+            Xc2 = cand @ R.T + baseline * t
+            ok = Xc2[:, 2] > 0.5
+            x2c = Xc2[:, :2] / Xc2[:, 2:3]
+            px2 = x2c * f2 + np.array([K2[0, 2], K2[1, 2]])
+            ok &= ((px2[:, 0] > 0) & (px2[:, 0] < im_size2[1])
+                   & (px2[:, 1] > 0) & (px2[:, 1] < im_size2[0]))
+            idx = np.flatnonzero(need)[ok]
+            X[idx] = cand[ok]
+            need[idx] = False
+        if (~need).sum() >= max(16, n_points // 10):
             break
-        cand = _frustum_points(rng, n_need, tan_x1, tan_y1, z_near, z_far,
-                               planar=(scene_type == "planar"))
-        Xc2 = cand @ R.T + baseline * t
-        ok = Xc2[:, 2] > 0.5
-        x2c = Xc2[:, :2] / Xc2[:, 2:3]
-        px2 = x2c * f2 + np.array([K2[0, 2], K2[1, 2]])
-        ok &= ((px2[:, 0] > 0) & (px2[:, 0] < im_size2[1])
-               & (px2[:, 1] > 0) & (px2[:, 1] < im_size2[0]))
-        idx = np.flatnonzero(need)[:n_need][ok]
-        X[idx] = cand[ok]
-        need[idx] = False
-    if need.any():  # pathological geometry: fall back to already-placed pts
-        good = np.flatnonzero(~need)
-        if good.size == 0:
-            raise RuntimeError("realistic_two_view_problem: no visible points")
+    good = np.flatnonzero(~need)
+    if good.size == 0:
+        raise RuntimeError("realistic_two_view_problem: no visible points")
+    if need.any():  # fill the stragglers from already-placed points
         X[need] = X[rng.choice(good, int(need.sum()))]
 
     d1 = X[:, 2].copy()

@@ -55,8 +55,10 @@ def create_optimizer(cfg: TrainConfig, steps_per_epoch: int = 1000):
 
 
 def create_train_state(key: jax.Array, cfg: TrainConfig, n_features: int,
-                       tx=None) -> Tuple[CLNet, TrainState]:
-    model = CLNet()
+                       tx=None, sampling_rate: float = 1.0) -> Tuple[CLNet, TrainState]:
+    """``sampling_rate < 1`` enables CLNet iterative pruning during training
+    (reference ``model_cl.py:407-425``; its shipped config uses 1.0)."""
+    model = CLNet(sampling_rate=sampling_rate)
     dummy = jnp.zeros((1, n_features, 7), jnp.float32)
     variables = model.init(key, dummy, train=False)
     tx = tx or create_optimizer(cfg)
@@ -354,7 +356,17 @@ def make_train_step_rigid(model: CLNet, tx, cfg: TrainConfig, ransac_cfg: Ransac
         )(state.params, state.batch_stats, batch, key)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        gnorm = optax.global_norm(grads)
+        metrics["grad_norm"] = gnorm
+        # keep the old params on a non-finite update (same guard as the
+        # E/F step; the r5 rigid run lost its last epoch to an unguarded
+        # late-training spike)
+        ok = jnp.isfinite(gnorm)
+        params = jax.tree.map(lambda a, b: jnp.where(ok, a, b), params, state.params)
+        new_opt = jax.tree.map(
+            lambda a, b: jnp.where(ok, a, b) if hasattr(a, "shape") and a.shape == getattr(b, "shape", None) else a,
+            new_opt, state.opt_state,
+        )
         return TrainState(params, new_stats, new_opt, state.step + 1), metrics
 
     return train_step
@@ -395,7 +407,14 @@ def make_train_step_rigid_mesh(model: CLNet, tx, cfg: TrainConfig,
         )(state.params, state.batch_stats, batch, key)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        gnorm = optax.global_norm(grads)
+        metrics["grad_norm"] = gnorm
+        ok = jnp.isfinite(gnorm)
+        params = jax.tree.map(lambda a, b: jnp.where(ok, a, b), params, state.params)
+        new_opt = jax.tree.map(
+            lambda a, b: jnp.where(ok, a, b) if hasattr(a, "shape") and a.shape == getattr(b, "shape", None) else a,
+            new_opt, state.opt_state,
+        )
         return TrainState(params, new_stats, new_opt, state.step + 1), metrics
 
     return train_step
@@ -428,9 +447,18 @@ def load_checkpoint(path: str, state: TrainState) -> TrainState:
 
     with open(path, "rb") as f:
         blob = pickle.load(f)
+    try:
+        opt_state = flax.serialization.from_state_dict(
+            state.opt_state, blob["opt_state"])
+    except ValueError:
+        # optimizer-structure mismatch (e.g. the checkpoint was trained
+        # with a cosine schedule, the consumer built a constant-LR
+        # optimizer — eval paths only need params/batch_stats): keep the
+        # template optimizer state
+        opt_state = state.opt_state
     return TrainState(
         params=flax.serialization.from_state_dict(state.params, blob["params"]),
         batch_stats=flax.serialization.from_state_dict(state.batch_stats, blob["batch_stats"]),
-        opt_state=flax.serialization.from_state_dict(state.opt_state, blob["opt_state"]),
+        opt_state=opt_state,
         step=jnp.asarray(blob["step"], jnp.int32),
     )

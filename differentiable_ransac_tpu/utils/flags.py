@@ -57,6 +57,9 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--topk", "-topk", type=int, default=0)
     p.add_argument("--k", "-k", type=int, default=300)
     p.add_argument("--scheduler", "-sch", type=int, default=0)
+    p.add_argument("--sampling_rate", "-sr", type=float, default=1.0,
+                   help="CLNet iterative pruning rate (<1 keeps top N*sr "
+                        "per pruning stage; reference model_cl.py:407-425)")
     p.add_argument("--eta_min", "-eta", type=float, default=1e-4)
     p.add_argument("--max_iterations", "-maxit", type=int, default=None,
                    help="override RANSAC iteration budget")

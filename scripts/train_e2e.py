@@ -61,7 +61,9 @@ def main():
     )
 
     tx = create_optimizer(tcfg, steps_per_epoch=max(1, len(train_ds) // tcfg.batch_size))
-    model, state = create_train_state(jax.random.PRNGKey(tcfg.seed), tcfg, tcfg.nfeatures, tx)
+    model, state = create_train_state(jax.random.PRNGKey(tcfg.seed), tcfg,
+                                      tcfg.nfeatures, tx,
+                                      sampling_rate=args.sampling_rate)
     if args.model:
         state = load_checkpoint(args.model, state)
     if mesh is not None:
