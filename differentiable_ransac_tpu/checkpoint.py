@@ -150,13 +150,20 @@ class CheckpointManager:
             tree_meta,
         )
         tree = ckptr.restore(path, restore_args=restore_args)
+        try:
+            opt_state = flax.serialization.from_state_dict(
+                state_template.opt_state, tree["opt_state"])
+        except ValueError:
+            # optimizer-structure mismatch (checkpoint trained with a
+            # schedule, consumer built a constant-LR optimizer — e.g.
+            # export_ckpt.py, which only needs params): keep the template
+            opt_state = state_template.opt_state
         state = TrainState(
             params=flax.serialization.from_state_dict(
                 state_template.params, tree["params"]),
             batch_stats=flax.serialization.from_state_dict(
                 state_template.batch_stats, tree["batch_stats"]),
-            opt_state=flax.serialization.from_state_dict(
-                state_template.opt_state, tree["opt_state"]),
+            opt_state=opt_state,
             step=jnp.asarray(tree["step"], jnp.int32),
         )
         rng = None

@@ -424,7 +424,8 @@ def run_ours(folder: str, args):
 
         tcfg = TrainConfig(nfeatures=args.nf)
         model, state = create_train_state(
-            jax.random.PRNGKey(0), tcfg, args.nf, create_optimizer(tcfg))
+            jax.random.PRNGKey(0), tcfg, args.nf, create_optimizer(tcfg),
+            sampling_rate=getattr(args, "our_sr", 1.0))
         state = load_checkpoint(args.our_ckpt, state)
         params, bstats = state.params, state.batch_stats
     else:
@@ -611,6 +612,9 @@ def main():
                          "angle) across correspondences on OUR side before "
                          "the network — measures how much the net relies "
                          "on them")
+    ap.add_argument("--our_sr", type=float, default=1.0,
+                    help="CLNet sampling_rate for --our_ckpt (match the "
+                         "value the checkpoint was trained with)")
     ap.add_argument("--prob", type=int, default=0,
                     help="prob_type fed to the sampler (0 normalized "
                          "weights — the reference predict path; 2 logits — "
