@@ -178,6 +178,72 @@ def measure_eval_path(noise: float = 0.5, outlier_ratio: float = 0.3,
     }
 
 
+def measure_bucketing(pairs_per_call: int = 8, n_easy: int = 16,
+                      n_hard: int = 16):
+    """Mixed-difficulty batching A/B: interleaved vs difficulty-sorted.
+
+    A vmapped adaptive search bills every lane at the slowest lane's
+    stopping budget. This measures the recovery from grouping
+    similar-difficulty pairs (``evaluate.difficulty_order`` /
+    ``eval_e2e.py --bucket``): the same 32 pairs (half 30%-outlier easy,
+    half 65%-outlier hard) evaluated in interleaved order vs sorted order,
+    same jitted program, same pairs/call."""
+    import jax
+    import jax.numpy as jnp
+
+    from differentiable_ransac_tpu.config import ModelKind, RansacConfig, SamplerKind
+    from differentiable_ransac_tpu.data.synthetic import two_view_problem
+    from differentiable_ransac_tpu.engine import ransac_test_fast
+
+    cfg = RansacConfig(model=ModelKind.ESSENTIAL, sampler=SamplerKind.GUMBEL,
+                       threshold=2.0, max_iterations=5000)
+    thr = jnp.asarray(2.0 / 1000.0, jnp.float32)
+    probs = ([two_view_problem(n_points=N_POINTS, noise=0.5,
+                               outlier_ratio=0.3, seed=i)
+              for i in range(n_easy)]
+             + [two_view_problem(n_points=N_POINTS, noise=1.0,
+                                 outlier_ratio=0.65, seed=100 + i)
+                for i in range(n_hard)])
+    pts_all = np.stack([p["matches"] for p in probs])
+    # interleaved: easy/hard alternating; sorted: easy block then hard block
+    interleaved = np.array([i // 2 if i % 2 == 0 else n_easy + i // 2
+                            for i in range(n_easy + n_hard)])
+    srt = np.arange(n_easy + n_hard)
+
+    @jax.jit
+    def run(pts, key):
+        keys = jax.random.split(key, pts.shape[0])
+        m, _, s, it = jax.vmap(
+            lambda p, k: ransac_test_fast(cfg, p, jnp.zeros(p.shape[0]), k,
+                                          threshold=thr)
+        )(pts, keys)
+        return m, it
+
+    import time as _t
+
+    def time_order(order, rep):
+        total = 0.0
+        for start in range(0, len(order), pairs_per_call):
+            chunk = jnp.asarray(pts_all[order[start:start + pairs_per_call]])
+            out = run(chunk, jax.random.PRNGKey(rep * 100 + start))
+            t0 = _t.perf_counter()
+            out = run(chunk, jax.random.PRNGKey(rep * 100 + start + 1))
+            jax.block_until_ready(out)
+            total += _t.perf_counter() - t0
+        return total
+
+    # warm both shapes once
+    time_order(interleaved, 0)
+    t_inter = min(time_order(interleaved, r) for r in (1, 2, 3))
+    t_sort = min(time_order(srt, r) for r in (4, 5, 6))
+    n = n_easy + n_hard
+    return {
+        "interleaved_pairs_per_s": n / t_inter,
+        "bucketed_pairs_per_s": n / t_sort,
+        "bucketing_speedup": t_inter / t_sort,
+    }
+
+
 def roofline(dt: float, cost: dict, backend: str):
     """Achieved fraction of the two single-chip rooflines, from XLA's
     compile-time cost analysis (VERDICT r4 weak #3 / task 4: an actionable
@@ -372,6 +438,16 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"# eval_path hard failed: {e}", file=sys.stderr)
 
+    bucketing = {}
+    try:
+        bucketing = measure_bucketing()
+        print(f"# bucketing: interleaved "
+              f"{bucketing['interleaved_pairs_per_s']:.1f} pairs/s vs "
+              f"difficulty-sorted {bucketing['bucketed_pairs_per_s']:.1f} "
+              f"({bucketing['bucketing_speedup']:.2f}x)", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"# bucketing failed: {e}", file=sys.stderr)
+
     ours = max(variants.values()) if variants else float("nan")
     try:
         baseline = measure_reference_baseline()
@@ -395,6 +471,7 @@ def main():
         # the bf16-peak MFU (meaningless for this VPU-bound workload) and
         # the tunnel-unreliable stages_ms (PROFILE §3; VERDICT r4 weak #2/3)
         "roofline": {k: _round(v) for k, v in rooflines.items()},
+        "bucketing": _round(bucketing, 2),
         "backend": backend,
     }))
 

@@ -163,18 +163,26 @@ class TwoViewRecords:
 
     def batches(self, batch_size: int, shuffle: bool = False,
                 drop_last: bool = True, seed: int | None = None,
-                skip: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+                skip: int = 0,
+                order: "np.ndarray | None" = None) -> Iterator[Dict[str, np.ndarray]]:
         """Yield stacked-record batches.
 
         ``seed`` makes the shuffle order a pure function of its value (for
         exact checkpoint resume — pass e.g. ``base_seed + epoch``); without
         it the internal stateful rng is used. ``skip`` drops the first N
         batches (resuming mid-epoch at a checkpointed batch index).
+        ``order`` gives an explicit record order (difficulty bucketing:
+        batching adaptive searches runs every lane to the SLOWEST lane's
+        stopping bound, so grouping similar-difficulty pairs recovers the
+        straggler penalty — see ``evaluate.difficulty_order``).
         """
-        order = np.arange(len(self))
-        if shuffle:
-            (np.random.default_rng(seed) if seed is not None else self.rng
-             ).shuffle(order)
+        if order is not None:
+            order = np.asarray(order)
+        else:
+            order = np.arange(len(self))
+            if shuffle:
+                (np.random.default_rng(seed) if seed is not None else self.rng
+                 ).shuffle(order)
         for bi, start in enumerate(range(0, len(order), batch_size)):
             idx = order[start:start + batch_size]
             if len(idx) < batch_size and drop_last:

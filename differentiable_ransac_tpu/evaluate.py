@@ -401,3 +401,30 @@ def aggregate_fundamental(results: List[Dict[str, float]]) -> Dict[str, float]:
         out.update({"AUC@5": aucs[0], "AUC@10": aucs[1], "AUC@20": aucs[2],
                     "median_pose_error": float(np.median(poses))})
     return out
+
+
+def difficulty_order(ds, snn_threshold: float = 0.8) -> np.ndarray:
+    """Record order grouping similar-difficulty pairs for batched eval.
+
+    A vmapped adaptive search runs EVERY lane until the slowest lane's
+    stopping bound closes, so a batch mixing easy (512-iteration) and hard
+    (5000-iteration) pairs bills every easy pair at the hard budget —
+    measured 27% hyp/s loss at 65% outliers vs same-difficulty batches
+    (``docs/BENCH_TPU.md`` round 5). This pre-pass estimates difficulty
+    from the SNN-ratio side channel alone (channel 4 of the stored
+    correspondences — the matcher's own confidence signal; no network, no
+    device work): the fraction of low-ratio correspondences tracks the
+    inlier fraction, which drives the adaptive bound
+    (``engine._adaptive_iterations``). Returns indices sorted easiest
+    first; feed to ``TwoViewRecords.batches(order=...)``.
+
+    Pass a FRESH reader instance (not the one you will evaluate with):
+    reading records advances the reader's stateful padding rng, which
+    would change the evaluated data.
+    """
+    scores = np.empty(len(ds), np.float64)
+    for i in range(len(ds)):
+        ratios = ds[i]["correspondences"][:, 4]
+        # mass well below the Lowe threshold ≈ confident-match fraction
+        scores[i] = float((ratios < 0.6 * snn_threshold).mean())
+    return np.argsort(-scores)

@@ -65,13 +65,45 @@ def pose_loss(
     gt_R: jnp.ndarray,
     gt_t: jnp.ndarray,
     svd: bool = False,
+    chunk: int = 0,
 ):
     """Average relative-pose error over hypotheses (w0, ``loss.py:11-68``):
     per model, recover (R, t) by cheirality voting and average
     ``(errR + errT)/2`` in degrees. Uses the differentiable Horn
     decomposition by default (``svd=False``), matching the train-time call
     (``train.py`` passes svd=False through ``forward_average``).
+
+    ``chunk > 0`` processes the hypothesis axis in ``lax.map``-sequenced,
+    rematerialized chunks: pose recovery triangulates every point under 4
+    candidate poses per hypothesis, and at F-mode training shapes the
+    batched residual (``B×H×4×N×4×4``) alone is >100 GB — far past HBM
+    (measured OOM at B=32, H=1024, N=500). Chunking bounds live
+    intermediates to one chunk and ``jax.checkpoint`` recomputes them in
+    the backward; the loss is a sum over hypotheses, so the result is
+    identical (``tests/test_losses.py``).
     """
+    H = models.shape[0]
+    if chunk and H > chunk:
+        pad = (-H) % chunk
+        if pad:
+            eye = jnp.broadcast_to(jnp.eye(3, dtype=models.dtype),
+                                   (pad, 3, 3))
+            models = jnp.concatenate([models, eye], axis=0)
+            valid = jnp.concatenate(
+                [valid, jnp.zeros((pad,), valid.dtype)], axis=0)
+        mc = models.reshape(-1, chunk, 3, 3)
+        vc = valid.reshape(-1, chunk)
+
+        @jax.checkpoint
+        def body(m_v):
+            m, v = m_v
+            err_R, err_t = pose.evaluate_pose(m, x1, x2, gt_R, gt_t, svd=svd)
+            per_h = (err_R + err_t) / 2.0
+            vv = v.astype(per_h.dtype)
+            return jnp.sum(per_h * vv), jnp.sum(vv)
+
+        sums, counts = jax.lax.map(body, (mc, vc))
+        return jnp.sum(sums) / jnp.maximum(jnp.sum(counts), 1.0)
     err_R, err_t = pose.evaluate_pose(models, x1, x2, gt_R, gt_t, svd=svd)
     per_h = (err_R + err_t) / 2.0
     v = valid.astype(per_h.dtype)

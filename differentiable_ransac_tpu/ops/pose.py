@@ -102,13 +102,19 @@ def triangulate_dlt(P0: jnp.ndarray, P1: jnp.ndarray, x1: jnp.ndarray, x2: jnp.n
     for P, x in ((P0, x1), (P1, x2)):
         rows.append(x[..., 0:1] * P[..., 2:3, :] - P[..., 0:1, :])
         rows.append(x[..., 1:2] * P[..., 2:3, :] - P[..., 1:2, :])
-    from differentiable_ransac_tpu.ops.linalg import safe_eigh
+    from differentiable_ransac_tpu.ops.linalg import jacobi_eigh
 
     rows = jnp.broadcast_arrays(*rows)  # P0 rows are unbatched; P1's may not be
     A = jnp.stack(rows, axis=-2)  # (..., N, 4, 4)
     gram = jnp.einsum("...mi,...mj->...ij", A, A)
-    _, vecs = safe_eigh(gram)
-    return vecs[..., :, 0]
+    # Jacobi (pure mul/add, same gap-regularized VJP) instead of XLA's
+    # EighTpu custom call: on hypothesis-batched pose recovery the custom
+    # call's 2×2-block operands tile-pad 64× (3.84 GB per operand at
+    # B=32·H-chunk=64·4·N=500 — the second OOM the F-mode w0 loss hit),
+    # while Jacobi stays in unpadded elementwise form.
+    shape = gram.shape
+    _, vecs = jax.vmap(jacobi_eigh)(gram.reshape((-1, 4, 4)))
+    return vecs.reshape(shape)[..., :, 0]
 
 
 def cheirality_mask(

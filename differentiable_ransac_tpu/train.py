@@ -175,7 +175,12 @@ def make_train_step(model: CLNet, tx, cfg: TrainConfig, ransac_cfg: RansacConfig
         if cfg.w0:
             l0 = jnp.mean(
                 jax.vmap(
-                    lambda m, v, a, b, R, t: pose_loss(m, v, a, b, R, t, svd=False)
+                    # chunk 16: the DLT/cheirality intermediates end in
+                    # (4,4) dims that TPU tile-padding expands 32×, so the
+                    # per-chunk footprint is ~2 GB at B=32, N=500 — chunked
+                    # + rematted to fit HBM (measured OOM at chunk 64)
+                    lambda m, v, a, b, R, t: pose_loss(m, v, a, b, R, t,
+                                                       svd=False, chunk=16)
                 )(models_E, valid, x1c, x2c, batch["gt_R"], batch["gt_t"])
             )
             total = total + cfg.w0 * l0

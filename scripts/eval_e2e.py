@@ -36,6 +36,12 @@ def main():
                         help="multi-chip (pairs,hyp) mesh: 'P,H' or 'auto' "
                              "(all local devices on hyp). Requires -bs "
                              "divisible by P.")
+    parser.add_argument("--bucket", type=int, default=0,
+                        help="1: difficulty-bucketed batching — order pairs "
+                             "by the SNN-ratio difficulty proxy so batched "
+                             "adaptive searches group similar stopping "
+                             "budgets (recovers the straggler penalty; "
+                             "docs/BENCH_TPU.md round 5)")
     args = parser.parse_args()
     args.tr = 0
     tcfg, rcfg = configs_from_args(args)
@@ -66,8 +72,16 @@ def main():
             print(f"skip {scene}: no data at {folder}")
             continue
         ds = TwoViewRecords([folder], tcfg.snn_threshold, tcfg.nfeatures, rcfg.fmat)
+        order = None
+        if args.bucket:
+            from differentiable_ransac_tpu.evaluate import difficulty_order
+
+            # fresh reader: the pre-pass must not advance the eval rng
+            order = difficulty_order(TwoViewRecords(
+                [folder], tcfg.snn_threshold, tcfg.nfeatures, rcfg.fmat),
+                tcfg.snn_threshold)
         results, t_total, n_pairs = [], 0.0, 0
-        for batch in ds.batches(tcfg.batch_size):
+        for batch in ds.batches(tcfg.batch_size, order=order):
             if mesh is not None:
                 jb = shard_batch(batch, mesh)
             else:

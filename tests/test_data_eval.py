@@ -203,3 +203,36 @@ def test_make_validation_fn_dispatches_per_mode(record_dir):
         state, ds_f, jax.random.PRNGKey(1))
     assert {"F1", "median_epi_error", "valid_fraction"} <= set(agg_f)
     assert np.isfinite(agg_f["F1"])
+
+
+def test_difficulty_order_and_explicit_batch_order(tmp_path):
+    """difficulty_order ranks low-outlier records first from the SNN side
+    channel alone, and TwoViewRecords.batches honors an explicit order
+    (the straggler-bucketing path, docs/BENCH_TPU.md round 5)."""
+    import numpy as np
+
+    from differentiable_ransac_tpu.data.datasets import (
+        TwoViewRecords,
+        write_synthetic_two_view_record,
+    )
+    from differentiable_ransac_tpu.evaluate import difficulty_order
+
+    outlier_ratios = [0.6, 0.1, 0.45, 0.2]
+    for i, orat in enumerate(outlier_ratios):
+        write_synthetic_two_view_record(
+            str(tmp_path / f"p{i}.npy"), n_points=300, seed=40 + i,
+            noise=1.0, outlier_ratio=orat, realistic=True)
+    ds = TwoViewRecords([str(tmp_path)], 0.8, 300, fmat=False)
+    order = difficulty_order(TwoViewRecords([str(tmp_path)], 0.8, 300,
+                                            fmat=False))
+    # easiest-first: the two low-outlier records lead
+    assert set(order[:2]) == {1, 3}, order
+    # batches() yields records in exactly that order
+    seen = []
+    for b in ds.batches(2, order=order, drop_last=False):
+        seen.append(b["correspondences"].shape[0])
+    assert seen == [2, 2]
+    first = next(iter(TwoViewRecords([str(tmp_path)], 0.8, 300, fmat=False)
+                      .batches(1, order=np.asarray([2]), drop_last=False)))
+    ref = TwoViewRecords([str(tmp_path)], 0.8, 300, fmat=False)[2]
+    np.testing.assert_allclose(first["gt_E"][0], ref["gt_E"])

@@ -127,3 +127,35 @@ def test_match_loss_gradient_through_models(prob):
 
     g = np.asarray(jax.grad(f)(jnp.asarray(prob["E"] + 0.01)))
     assert np.isfinite(g).all() and np.abs(g).sum() > 0
+
+
+def test_pose_loss_chunked_matches_unchunked():
+    """chunk>0 (the OOM-safe lax.map+remat path used by the train step)
+    must reproduce the unchunked loss and gradient exactly, including a
+    non-divisible hypothesis count (identity padding carries valid=0)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from differentiable_ransac_tpu.data.synthetic import two_view_problem
+    from differentiable_ransac_tpu.losses import pose_loss
+
+    p = two_view_problem(60, noise=0.5, outlier_ratio=0.2, seed=8)
+    rng = np.random.default_rng(0)
+    H = 10
+    models = jnp.asarray(
+        p["E"][None] + 0.05 * rng.normal(size=(H, 3, 3)), jnp.float32)
+    valid = jnp.asarray(rng.uniform(size=H) > 0.3)
+    x1 = jnp.asarray(p["matches"][:, :2])
+    x2 = jnp.asarray(p["matches"][:, 2:])
+    args = (valid, x1, x2, jnp.asarray(p["R"]), jnp.asarray(p["t"]))
+
+    full = pose_loss(models, *args)
+    for chunk in (4, 5, 16):
+        chunked = pose_loss(models, *args, chunk=chunk)
+        np.testing.assert_allclose(float(chunked), float(full), rtol=1e-5)
+
+    g_full = jax.grad(lambda m: pose_loss(m, *args))(models)
+    g_chunk = jax.grad(lambda m: pose_loss(m, *args, chunk=4))(models)
+    np.testing.assert_allclose(np.asarray(g_chunk), np.asarray(g_full),
+                               rtol=2e-4, atol=1e-6)
