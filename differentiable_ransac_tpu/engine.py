@@ -36,8 +36,8 @@ from differentiable_ransac_tpu.config import (
     ScoringKind,
 )
 from differentiable_ransac_tpu.samplers import (
-    gather_minimal_samples,
-    gumbel_topk_sample,
+    gumbel_topk_select,
+    select_minimal_samples,
     uniform_sample,
 )
 from differentiable_ransac_tpu.scoring import (
@@ -197,7 +197,8 @@ def _draw_and_solve(cfg: RansacConfig, points, logits, key, num_hypotheses):
     """Sample minimal sets and solve them, fully vectorized.
 
     Returns:
-        models (H, S, 3or4, 3or4), valid (H, S), soft_weights (H, N) | None.
+        models (H, S, 3or4, 3or4), valid (H, S), soft_weights (H, m) | None
+        (the Gumbel-softmax weights at the SELECTED entries).
     """
     m = cfg.sample_size
     n = points.shape[0]
@@ -210,11 +211,12 @@ def _draw_and_solve(cfg: RansacConfig, points, logits, key, num_hypotheses):
         soft = None
         sample_weights = None
     else:
-        idx, st_mask, soft = gumbel_topk_sample(key, logits, num_hypotheses, m)
-        samples = gather_minimal_samples(points, idx, st_mask)
-        sample_weights = (
-            jnp.take_along_axis(soft, idx, axis=1) if cfg.weighted else None
-        )
+        # gather-free draw: selecting from the (H, N) mask via
+        # take_along_axis was the dominant byte-mover of the whole search
+        # (8.7 GB/call at bench scale — docs/PROFILE.md §4).
+        idx, st_sel, soft = gumbel_topk_select(key, logits, num_hypotheses, m)
+        samples = select_minimal_samples(points, idx, st_sel)
+        sample_weights = soft if cfg.weighted else None
 
     if cfg.train and cfg.grad_sample_clip > 0:
         samples = _clip_sample_cotangent(
@@ -347,11 +349,9 @@ def ransac_fixed_rescued(
         samples = points[idx]
         sample_weights = None
     else:
-        idx, st_mask, soft = gumbel_topk_sample(key, logits32, H, m)
-        samples = gather_minimal_samples(points, idx, st_mask)
-        sample_weights = (
-            jnp.take_along_axis(soft, idx, axis=1) if cfg.weighted else None
-        )
+        idx, st_sel, soft_sel = gumbel_topk_select(key, logits32, H, m)
+        samples = select_minimal_samples(points, idx, st_sel)
+        sample_weights = soft_sel if cfg.weighted else None
 
     solver32 = _minimal_solver(fast_cfg)
     if sample_weights is not None:
@@ -701,12 +701,11 @@ def _draw_samples(cfg: RansacConfig, points, logits, key, num_hypotheses):
     if cfg.sampler == SamplerKind.UNIFORM:
         idx = uniform_sample(key, n, num_hypotheses, m)
         return points[idx], None
-    idx, st_mask, soft = gumbel_topk_sample(
+    idx, st_sel, soft_sel = gumbel_topk_select(
         key, logits.astype(points.dtype), num_hypotheses, m
     )
-    samples = gather_minimal_samples(points, idx, st_mask)
-    weights = jnp.take_along_axis(soft, idx, axis=1) if cfg.weighted else None
-    return samples, weights
+    samples = select_minimal_samples(points, idx, st_sel)
+    return samples, (soft_sel if cfg.weighted else None)
 
 
 def _fast_search_loop(

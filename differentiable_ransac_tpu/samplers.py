@@ -58,6 +58,60 @@ def gumbel_topk_sample(
     return topk_idx.astype(jnp.int32), st_mask, y_soft
 
 
+def gumbel_topk_select(
+    key: jax.Array,
+    logits: jnp.ndarray,
+    num_hypotheses: int,
+    num_samples: int,
+    tau: float = 1.0,
+):
+    """Gather-free Gumbel top-k draw: the (H, k) SELECTED entries only.
+
+    Identical distribution and bit-identical selected values to
+    :func:`gumbel_topk_sample` + ``take_along_axis`` — but computed without
+    any (H, N) gather. XLA cost analysis on the TPU shows
+    ``take_along_axis(st_mask, indices)`` on (H=2048, N=2000) batched ×8
+    is an **8.7 GB** byte-mover (per-index tile reads in the lowered
+    gather), ~70% of the whole hypothesis-draw cost (docs/PROFILE.md §4).
+    ``lax.top_k`` already returns the selected VALUES, and the softmax at
+    a selected entry is ``exp(v − rowmax) / Σexp(pert − rowmax)`` — all
+    per-row reductions, no gather. Gradients match: the top-k value VJP
+    scatters cotangents to exactly the selected entries, and the
+    log-sum-exp VJP spreads to all logits — the same pullback as the
+    full-softmax-then-gather formulation.
+
+    Returns:
+        indices: (H, k) int32, ascending per hypothesis (same order as
+            :func:`gumbel_topk_sample`).
+        st_sel: (H, k) straight-through factors at the selected entries
+            (forward ≡ ``1 − y_soft + y_soft``, backward ≡ softmax grad).
+        soft_sel: (H, k) the soft weights at the selected entries (what
+            ``take_along_axis(y_soft, indices)`` returned).
+    """
+    n = logits.shape[-1]
+    gumbels = jax.random.gumbel(key, (num_hypotheses, n), logits.dtype)
+    perturbed = (logits[None, :] + gumbels) / tau
+    vals, topk_idx = jax.lax.top_k(perturbed, num_samples)
+    # jax.nn.softmax semantics: subtract the stop-gradient row max — which
+    # top_k already produced as its first (descending) value.
+    row_max = jax.lax.stop_gradient(vals[:, :1])
+    order = jnp.argsort(topk_idx, axis=-1)
+    topk_idx = jnp.take_along_axis(topk_idx, order, axis=-1)  # (H, k): tiny
+    vals = jnp.take_along_axis(vals, order, axis=-1)
+    denom = jnp.sum(jnp.exp(perturbed - row_max), axis=-1, keepdims=True)
+    soft_sel = jnp.exp(vals - row_max) / denom
+    st_sel = 1.0 - jax.lax.stop_gradient(soft_sel) + soft_sel
+    return topk_idx.astype(jnp.int32), st_sel, soft_sel
+
+
+def select_minimal_samples(matches: jnp.ndarray, indices: jnp.ndarray, st_sel: jnp.ndarray):
+    """(H, k, D) minimal samples from :func:`gumbel_topk_select` outputs:
+    the straight-through product applied at the gathered rows (forward- and
+    backward-identical to :func:`gather_minimal_samples` on the full
+    mask, without the (H, N)-sized intermediates)."""
+    return matches[indices] * st_sel[:, :, None]
+
+
 def gather_minimal_samples(matches: jnp.ndarray, indices: jnp.ndarray, st_mask: jnp.ndarray):
     """Materialize (H, k, D) minimal samples with straight-through gradients.
 
@@ -65,8 +119,14 @@ def gather_minimal_samples(matches: jnp.ndarray, indices: jnp.ndarray, st_mask: 
     ``st_mask`` (hence the logits) exactly as in the reference's
     ``matches * samples`` mask-select (``ransac.py:63-65``).
     """
-    masked = matches[None, :, :] * st_mask[:, :, None]  # (H, N, D)
-    return jnp.take_along_axis(masked, indices[:, :, None], axis=1)
+    # Gather FIRST, then mask: multiplying before the gather materializes a
+    # (H, N, D) intermediate (0.5 GB/call at bench scale) whose gradient
+    # w.r.t. st_mask is nonzero only at the gathered entries anyway —
+    # gathering st_mask alongside the rows is forward- and backward-equal
+    # (take_along_axis VJP scatters the cotangent back to those entries).
+    rows = matches[indices]                                  # (H, k, D)
+    st_sel = jnp.take_along_axis(st_mask, indices, axis=1)   # (H, k)
+    return rows * st_sel[:, :, None]
 
 
 def prosac_rank_probabilities(num_points: int) -> jnp.ndarray:
